@@ -1,0 +1,17 @@
+from .mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+    is_main_process,
+    run_on_main,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "is_main_process",
+    "run_on_main",
+]
