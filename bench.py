@@ -1,0 +1,70 @@
+"""Benchmark: anonymization real-time factor per chip.
+
+Measures the full anonymization inference path (fbank frontend -> global
+normalization -> ConvAutoencoder forward) on the available accelerator and
+prints ONE JSON line. The north-star target (BASELINE.json) is >=50x
+real-time per TPU v5e chip; ``vs_baseline`` is the measured RTF divided by
+that 50x target (>1.0 = beating the target).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from speech_anonymization_tpu.models import ConvAutoencoder
+    from speech_anonymization_tpu.ops.fbank import Fbank
+    from speech_anonymization_tpu.ops.normalization import InputNormalizer
+
+    batch = 32
+    k = 28                      # wav len (36k-1)*160 -> ~44.7 s per utt
+    n = (36 * k - 1) * 160
+    audio_seconds = batch * n / 16000.0
+
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.1)
+    lens = jnp.ones((batch,), jnp.float32)
+
+    fbank = Fbank()
+    normalizer = InputNormalizer(dim=80)
+    norm_state = normalizer.init_state()
+    model = ConvAutoencoder()
+    feats0 = fbank(wavs[:1])
+    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+
+    @jax.jit
+    def anonymize(wavs, lens):
+        feats = fbank(wavs)
+        feats, _ = normalizer(norm_state, feats, lens, epoch=10**9, training=False)
+        recon, _ = model.apply(variables, feats, train=False)
+        return recon
+
+    out = anonymize(wavs, lens)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = anonymize(wavs, lens)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rtf = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "anonymization_realtime_factor_per_chip",
+                "value": round(rtf, 1),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 50.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

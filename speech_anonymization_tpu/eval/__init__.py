@@ -1,5 +1,6 @@
 from .metrics import MetricStats, AccuracyStats, SimilarityMetricsStats
 from .wer import ErrorRateStats, edit_distance_details
+from .evaluator import FeatureClassifier
 
 __all__ = [
     "MetricStats",
@@ -7,4 +8,5 @@ __all__ = [
     "SimilarityMetricsStats",
     "ErrorRateStats",
     "edit_distance_details",
+    "FeatureClassifier",
 ]

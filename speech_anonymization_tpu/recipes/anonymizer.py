@@ -1,0 +1,629 @@
+"""Adversarial anonymizer training/eval — the core recipe.
+
+Reference: speechbrain_convae_train.py (625 LoC, SexAnonymizationTraining).
+Reproduced behaviors:
+
+  * model selection by ``model_type`` in {convae, fcae, endtoend, cyclegan}
+    (:551-558; cyclegan is the commented alternative at :555)
+  * multi-term loss: recon (MSE over flattened feats, :105), sex NLL
+    (:107), confusion MSE vs ln(1/2) (:108), ASR utility (:97-103, wired
+    when the ASR stack is attached); sign conventions preserved — the
+    endtoend path SUBTRACTS sex and confusion (:111-121), the GRL paths ADD
+    them (:122-128)
+  * the adversarial alternation schedule — epoch-parity phases with weight
+    sets + parameter freezing (:212-235). The reference hardcodes three
+    different schedules across archived runs (SURVEY.md §2.8), so here the
+    schedule is CONFIG (``adversarial_schedule``), not code.
+  * pad-T-to-%36 rule for strided conv models (:62-63)
+  * metric-keyed top-5 checkpointing on Utility_Retention/ACC_external
+    (:338-343) and checkpoint averaging before eval (:404-416)
+  * external privacy metric via the feature-level classifier (:138-149)
+
+Deliberate fixes (SURVEY.md §7 quirk list): features are computed ONCE per
+step (the reference recomputes them in compute_objectives); the
+``sa_brain`` module-global is gone; ``fit()`` is controlled by
+``--eval_only`` instead of being commented out.
+
+TPU design: one jitted update per phase-kind, parameterized by a device
+weight vector (no recompiles when the schedule changes weights); parameter
+freezing = two disjoint-masked optimizers selected by lax.cond (masked
+moments stay exactly zero, matching torch's requires_grad semantics);
+gradient accumulation in a state buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import DynamicItemDataset, SaveableDataLoader, prepare_librispeech, read_audio
+from ..data.dataset import make_buckets
+from ..losses import confusion_loss as conf_loss_fn
+from ..losses import mse_loss, nll_loss
+from ..models import (
+    ConvAutoencoder,
+    ConvReconstruction,
+    CycleGANGenerator,
+    FullyConnectedAutoencoder,
+)
+from ..ops.fbank import Fbank
+from ..ops.normalization import InputNormalizer
+from ..parallel import is_main_process, run_on_main, shard_batch
+from ..train import Brain, Checkpointer, EpochCounter, FileTrainLogger, NoamScheduler, Stage
+from ..train.checkpoint import PytreeRecoverable, average_checkpoints
+from ..train.experiment import create_experiment_directory
+from ..train.state import TrainState, clip_by_global_norm
+from ..eval.metrics import AccuracyStats, SimilarityMetricsStats
+from ..eval.evaluator import FeatureClassifier
+
+MODEL_TYPES = {
+    "convae": ConvAutoencoder,
+    "fcae": FullyConnectedAutoencoder,
+    "endtoend": ConvReconstruction,
+    "cyclegan": CycleGANGenerator,
+}
+
+DEFAULT_SCHEDULE = [
+    # reference HEAD schedule (speechbrain_convae_train.py:212-235)
+    {"weights": {"recon": 0.0, "sex": 0.8, "utility": 0.2, "confusion": 0.0}, "train": "generator"},
+    {"weights": {"recon": 0.0, "sex": 0.5, "utility": 0.0, "confusion": 0.0}, "train": "sex_classifier"},
+]
+
+
+def _pad_time_to_multiple(feats: jax.Array, multiple: int = 36) -> jax.Array:
+    t = feats.shape[1]
+    pad = (-t) % multiple
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    return feats
+
+
+class SexAnonymizationBrain(Brain):
+    def __init__(self, hparams: dict, checkpointer=None, mesh=None,
+                 external_classifier: FeatureClassifier | None = None,
+                 asr_bundle=None):
+        super().__init__(hparams, checkpointer, hparams.get("ckpt_interval_minutes"))
+        self.mesh = mesh
+        self.model_type = hparams.get("model_type", "convae")
+        self.fbank: Fbank = hparams["compute_features"]
+        self.normalizer: InputNormalizer = hparams["normalize"]
+        self.model = MODEL_TYPES[self.model_type]()
+        self.train_logger: FileTrainLogger = hparams["train_logger"]
+        self.epoch_counter: EpochCounter = hparams["epoch_counter"]
+        self.noam: NoamScheduler = hparams.get("noam_annealing") or NoamScheduler()
+        # no explicit schedule -> single phase from the config's top-level
+        # loss weights (the reference's recon-only / fixed-weight runs)
+        self.schedule = hparams.get("adversarial_schedule") or [
+            {
+                "weights": {
+                    "recon": hparams.get("recon_loss_weight", 1.0),
+                    "sex": hparams.get("sex_loss_weight", 0.0),
+                    "utility": hparams.get("utility_loss_weight", 0.0),
+                    "confusion": hparams.get("confusion_loss_weight", 0.0),
+                },
+                "train": "all",
+            }
+        ]
+        self.schedule_unit = hparams.get("adversarial_schedule_unit", "epoch")
+        self.grad_accum = int(hparams.get("gradient_accumulation", 1))
+        self.clip = hparams.get("gradient_clipping", 5.0)
+        self.external_classifier = external_classifier
+        self.asr_bundle = asr_bundle  # utility/WER stack, attached when present
+        self.augmentation = hparams.get("augmentation")
+        self.pad_multiple = 1 if self.model_type == "fcae" else 36
+        self._adam = lambda: optax.inject_hyperparams(optax.adam)(
+            learning_rate=1e-3, b1=0.9, b2=0.98, eps=1e-9
+        )
+        self.gen_opt = self._adam()
+        self.clf_opt = self._adam()
+        self.state: TrainState | None = None
+        self._rng = jax.random.PRNGKey(int(hparams.get("seed", 0)))
+        self._build_steps()
+
+    # -- pure compute -----------------------------------------------------------
+
+    def _apply_model(self, params, model_state, feats, train: bool):
+        variables = {"params": params, **model_state}
+        if self.model_type == "endtoend":
+            if train:
+                recon, mut = self.model.apply(variables, feats, train=True, mutable=["batch_stats"])
+            else:
+                recon, mut = self.model.apply(variables, feats, train=False), model_state
+            sex_lp = self._external_log_probs(recon)
+            return recon, sex_lp, (mut if train else model_state)
+        if train:
+            (recon, sex_lp), mut = self.model.apply(
+                variables, feats, train=True, mutable=["batch_stats"]
+            )
+            return recon, sex_lp, mut
+        recon, sex_lp = self.model.apply(variables, feats, train=False)
+        return recon, sex_lp, model_state
+
+    def _external_log_probs(self, feats):
+        if self.external_classifier is None:
+            # chance-level constant; keeps the endtoend path runnable
+            return jnp.full((feats.shape[0], 2), jnp.log(0.5))
+        ext = self.external_classifier
+        if ext.renormalize:
+            feats, _ = ext.normalizer(ext.norm_state, feats, None, epoch=10**9, training=False)
+        ev = {"params": ext.params["embedding_model"], **ext.model_state["embedding_model"]}
+        emb = ext.embedding_model.apply(ev, feats, train=False)
+        cv = {"params": ext.params["classifier"], **ext.model_state["classifier"]}
+        return ext.classifier.apply(cv, emb, train=False)
+
+    def _features(self, norm_state, wavs, lens, epoch, train: bool, rng=None):
+        feats = self.fbank(wavs)
+        feats, new_norm = self.normalizer(norm_state, feats, lens, epoch, training=train)
+        feats = _pad_time_to_multiple(feats, self.pad_multiple)
+        clean = feats
+        if train and self.augmentation is not None and rng is not None:
+            feats = self.augmentation(rng, feats)
+        return clean, feats, new_norm
+
+    def _loss_terms(self, params, model_state, norm_state, batch, epoch, rng, train: bool):
+        wavs, lens, labels = batch[:3]
+        clean, aug, new_norm = self._features(norm_state, wavs, lens, epoch, train, rng)
+        recon, sex_lp, new_model_state = self._apply_model(params, model_state, aug, train)
+        b = clean.shape[0]
+        recon_loss = mse_loss(recon.reshape(b, -1), clean.reshape(b, -1))
+        sex_loss = nll_loss(sex_lp, labels)
+        confusion = conf_loss_fn(sex_lp)
+        if self.asr_bundle is not None and train:
+            utility = self.asr_bundle.utility_loss(clean, recon, lens, batch)
+        else:
+            utility = jnp.zeros(())
+        return (
+            recon_loss,
+            sex_loss,
+            utility,
+            confusion,
+            sex_lp,
+            recon,
+            clean,
+            new_model_state,
+            new_norm,
+        )
+
+    def _total(self, recon_loss, sex_loss, utility, confusion, weights):
+        w_recon, w_sex, w_util, w_conf = weights[0], weights[1], weights[2], weights[3]
+        if self.model_type == "endtoend":
+            # sign conventions: external classifier (no GRL), subtract
+            # (speechbrain_convae_train.py:111-121)
+            return w_recon * recon_loss - w_sex * sex_loss + w_util * utility - w_conf * confusion
+        return w_recon * recon_loss + w_sex * sex_loss + w_util * utility + w_conf * confusion
+
+    def _loss_fn(self, params, model_state, norm_state, batch, epoch, weights, rng):
+        (recon_loss, sex_loss, utility, confusion, sex_lp, _, _, new_model_state, new_norm
+         ) = self._loss_terms(params, model_state, norm_state, batch, epoch, rng, train=True)
+        loss = self._total(recon_loss, sex_loss, utility, confusion, weights)
+        metrics = {
+            "recon_loss": recon_loss,
+            "sex_loss": sex_loss,
+            "utility_loss": utility,
+            "confusion_loss": confusion,
+        }
+        return loss, (new_model_state, new_norm, metrics)
+
+    # -- masks & update ------------------------------------------------------------
+
+    def _masks(self, params):
+        def is_clf(path):
+            return any("sex_classifier" in str(p) or "sex_head" in str(p) for p in path)
+
+        clf = jax.tree_util.tree_map_with_path(lambda p, v: 1.0 if is_clf(p) else 0.0, params)
+        gen = jax.tree_util.tree_map(lambda m: 1.0 - m, clf)
+        return gen, clf
+
+    def _build_steps(self):
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        accum_steps = self.grad_accum
+        clip = self.clip
+
+        def update(state: TrainState, batch, lr, epoch, weights, train_mode, rng):
+            (loss, (new_model_state, new_norm, metrics)), grads = grad_fn(
+                state.params, state.model_state, state.norm_state, batch, epoch, weights, rng
+            )
+            accum = jax.tree_util.tree_map(
+                lambda a, g: a + g / accum_steps, state.accum_grads, grads
+            )
+            count = state.accum_count + 1
+            do_step = count >= accum_steps
+            gen_mask, clf_mask = self._masks(state.params)
+
+            def masked_apply(opt, opt_state, mask):
+                g = jax.tree_util.tree_map(lambda x, m: x * m, accum, mask)
+                if clip is not None:
+                    g, gnorm = clip_by_global_norm(g, clip)
+                else:
+                    gnorm = optax.global_norm(g)
+                finite = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+                opt_state.hyperparams["learning_rate"] = lr
+                updates, new_opt = opt.update(g, opt_state, state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                new_params = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(finite, n, o), new_params, state.params
+                )
+                return new_params, new_opt
+
+            def apply(_):
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, accum)
+                ones_mask = jax.tree_util.tree_map(jnp.ones_like, gen_mask)
+
+                def gen_branch(_):
+                    p, s = masked_apply(self.gen_opt, state.opt_state["gen"], gen_mask)
+                    return p, {"gen": s, "clf": state.opt_state["clf"]}
+
+                def clf_branch(_):
+                    p, s = masked_apply(self.clf_opt, state.opt_state["clf"], clf_mask)
+                    return p, {"gen": state.opt_state["gen"], "clf": s}
+
+                def all_branch(_):
+                    p, s = masked_apply(self.gen_opt, state.opt_state["gen"], ones_mask)
+                    return p, {"gen": s, "clf": state.opt_state["clf"]}
+
+                new_params, new_opt = jax.lax.switch(
+                    train_mode, [gen_branch, clf_branch, all_branch], None
+                )
+                return new_params, new_opt, zeros, jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_)
+
+            def skip(_):
+                return state.params, state.opt_state, accum, count, jnp.zeros((), jnp.bool_)
+
+            new_params, new_opt_state, new_accum, new_count, stepped = jax.lax.cond(
+                do_step, apply, skip, None
+            )
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                model_state=new_model_state,
+                norm_state=new_norm,
+                opt_state=new_opt_state,
+                accum_grads=new_accum,
+                accum_count=new_count,
+            )
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["stepped"] = stepped
+            return new_state, metrics
+
+        self._train_step = jax.jit(update, donate_argnums=(0,))
+
+        def eval_step(params, model_state, norm_state, batch, epoch, weights):
+            (recon_loss, sex_loss, utility, confusion, sex_lp, recon, clean, _, _
+             ) = self._loss_terms(params, model_state, norm_state, batch, epoch, None, train=False)
+            loss = self._total(recon_loss, sex_loss, utility, confusion, weights)
+            return loss, sex_lp, recon, clean
+
+        self._eval_step = jax.jit(eval_step)
+
+    # -- state ---------------------------------------------------------------------
+
+    def init_state(self, example_batch, seed: int = 0):
+        wavs, lens, _ = example_batch[:3]
+        rng = jax.random.PRNGKey(seed)
+        feats = _pad_time_to_multiple(self.fbank(wavs), self.pad_multiple)
+        variables = self.model.init({"params": rng, "dummy": rng}, feats, train=False)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        self.state = TrainState.create(
+            params,
+            model_state,
+            self.normalizer.init_state(),
+            {"gen": self.gen_opt.init(params), "clf": self.clf_opt.init(params)},
+        )
+        if self.checkpointer is not None:
+            self.checkpointer.add_recoverable(
+                "model",
+                PytreeRecoverable(
+                    lambda: self.state.params,
+                    lambda p: self._set(params=p),
+                ),
+            )
+            self.checkpointer.add_recoverable(
+                "model_state",
+                PytreeRecoverable(
+                    lambda: self.state.model_state, lambda s: self._set(model_state=s)
+                ),
+            )
+            self.checkpointer.add_recoverable(
+                "normalizer",
+                PytreeRecoverable(lambda: self.state.norm_state, lambda s: self._set(norm_state=s)),
+            )
+            self.checkpointer.add_recoverable("counter", self.epoch_counter)
+            self.checkpointer.add_recoverable("noam_scheduler", self.noam)
+
+    def _set(self, **kw):
+        kw = {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in kw.items()}
+        self.state = self.state.replace(**kw)
+
+    # -- schedule ---------------------------------------------------------------------
+
+    def _phase(self, epoch: int) -> dict:
+        if self.schedule_unit == "step":
+            idx = (self.step // int(self.hparams.get("adversarial_schedule_steps", 200))) % len(
+                self.schedule
+            )
+        else:
+            idx = epoch % len(self.schedule)
+        return self.schedule[idx]
+
+    # -- batch plumbing ------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        wavs, lens = batch.sig
+        labels = np.asarray(batch.gender, np.int32)
+        arrs = (jnp.asarray(wavs), jnp.asarray(lens), jnp.asarray(labels))
+        if self.asr_bundle is not None and hasattr(batch, "tokens_bos"):
+            tokens_bos, _ = batch.tokens_bos
+            arrs = arrs + (jnp.asarray(tokens_bos, jnp.int32),)
+        if self.mesh is not None:
+            arrs = shard_batch(arrs, self.mesh)
+        return arrs
+
+    def fit_batch(self, batch, epoch):
+        phase = self._phase(epoch)
+        w = phase["weights"]
+        weights = jnp.asarray(
+            [w.get("recon", 0.0), w.get("sex", 0.0), w.get("utility", 0.0), w.get("confusion", 0.0)],
+            jnp.float32,
+        )
+        mode_map = {"generator": 0, "sex_classifier": 1, "all": 2}
+        train_mode = jnp.asarray(mode_map[phase.get("train", "all")], jnp.int32)
+        # Noam anneals once per OPTIMIZER update (reference :247-255)
+        will_step = (int(self.state.accum_count) + 1) >= self.grad_accum
+        lr = jnp.asarray(self.noam() if will_step else self.noam.current_lr, jnp.float32)
+        self._rng, key = jax.random.split(self._rng)
+        db = self._device_batch(batch)
+        self.state, metrics = self._train_step(
+            self.state, db, lr, jnp.asarray(epoch), weights, train_mode, key
+        )
+        return metrics["loss"]
+
+    def evaluate_batch(self, batch, stage):
+        db = self._device_batch(batch)
+        weights = jnp.asarray(
+            [
+                self.hparams.get("recon_loss_weight", 1.0),
+                self.hparams.get("sex_loss_weight", 0.0),
+                self.hparams.get("utility_loss_weight", 0.0),
+                self.hparams.get("confusion_loss_weight", 0.0),
+            ],
+            jnp.float32,
+        )
+        loss, sex_lp, recon, clean = self._eval_step(
+            self.state.params,
+            self.state.model_state,
+            self.state.norm_state,
+            db,
+            jnp.asarray(self.epoch_counter.current),
+            weights,
+        )
+        labels = np.asarray(db[2])
+        self.sex_classification_acc.append(np.asarray(sex_lp), labels)
+        if self.external_classifier is not None:
+            lp_orig, _, _ = self.external_classifier.classify_feats(clean)
+            self.sex_classification_acc_extern_orig.append(np.asarray(lp_orig), labels)
+            lp_recon, _, _ = self.external_classifier.classify_feats(recon)
+            self.sex_classification_acc_extern.append(np.asarray(lp_recon), labels)
+        if self.asr_bundle is not None:
+            self.asr_bundle.eval_batch(self, batch, stage, recon, clean, db)
+        else:
+            # without ASR, track recon fidelity as a proxy utility signal
+            r, c = np.asarray(recon), np.asarray(clean)
+            num = (r * c).sum(axis=(1, 2))
+            den = np.linalg.norm(r.reshape(len(r), -1), axis=1) * np.linalg.norm(
+                c.reshape(len(c), -1), axis=1
+            )
+            self.utility_similarity_aggregator.append(num / np.maximum(den, 1e-8))
+        return loss
+
+    # -- hooks ---------------------------------------------------------------------------
+
+    def on_stage_start(self, stage, epoch=None):
+        if stage != Stage.TRAIN:
+            self.sex_classification_acc = AccuracyStats()
+            self.sex_classification_acc_extern = AccuracyStats()
+            self.sex_classification_acc_extern_orig = AccuracyStats()
+            self.utility_similarity_aggregator = SimilarityMetricsStats()
+            if stage == Stage.TEST and self.asr_bundle is not None:
+                self.asr_bundle.start_test(self)
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        if stage == Stage.TRAIN:
+            return
+        stats = {
+            "loss": stage_loss,
+            "ACC": self.sex_classification_acc.summarize(),
+            "ACC_external": self.sex_classification_acc_extern.summarize(),
+            # extra vs the reference train_log (it only print()s this):
+            # evaluator accuracy on ORIGINAL features — the sanity anchor
+            "ACC_external_orig": self.sex_classification_acc_extern_orig.summarize(),
+            "Utility_Retention": self.utility_similarity_aggregator.summarize(),
+        }
+        if stage == Stage.VALID and is_main_process():
+            self.train_logger.log_stats(
+                {
+                    "epoch": epoch,
+                    "lr": self.noam.current_lr,
+                    "steps": self.noam.n_steps,
+                    "optimizer": "Adam",
+                },
+                train_stats=self.train_stats,
+                valid_stats=stats,
+            )
+            if self.checkpointer is not None:
+                self.checkpointer.save_and_keep_only(
+                    {
+                        "ACC_external": stats["ACC_external"],
+                        "Utility_Retention": stats["Utility_Retention"],
+                        "epoch": epoch,
+                    },
+                    max_keys=["Utility_Retention"],
+                    min_keys=["ACC_external"],
+                    num_to_keep=5,
+                )
+        elif stage == Stage.TEST:
+            if self.asr_bundle is not None:
+                stats["WER"] = self.asr_bundle.finish_test(self)
+            self.train_logger.log_stats(
+                {"Epoch loaded": self.epoch_counter.current}, test_stats=stats
+            )
+            self.test_stats = stats
+
+    def on_evaluate_start(self, max_key=None, min_key=None):
+        """Average the top checkpoints into the live params (:404-416)."""
+        if self.checkpointer is None:
+            return
+        ckpts = self.checkpointer.find_checkpoints(max_key=max_key, min_key=min_key)
+        if ckpts:
+            avg = average_checkpoints(ckpts, "model", self.state.params)
+            self._set(params=avg)
+
+
+def dataio_prepare(hparams, tokenizer=None):
+    """Datasets with audio/gender(/token) pipelines
+    (reference dataio_prepare, :419-511)."""
+    data_folder = hparams["data_folder"]
+    train_data = DynamicItemDataset.from_csv(hparams["train_csv"], {"data_root": data_folder})
+    sorting = hparams.get("sorting", "random")
+    if sorting == "ascending":
+        train_data = train_data.filtered_sorted(sort_key="duration")
+    elif sorting == "descending":
+        train_data = train_data.filtered_sorted(sort_key="duration", reverse=True)
+    valid_data = DynamicItemDataset.from_csv(hparams["valid_csv"], {"data_root": data_folder})
+    valid_data = valid_data.filtered_sorted(sort_key="duration")
+    test_csvs = hparams["test_csv"]
+    if isinstance(test_csvs, str):
+        test_csvs = [test_csvs]
+    test_datasets = {}
+    for csv_file in test_csvs:
+        name = os.path.splitext(os.path.basename(csv_file))[0]
+        ds = DynamicItemDataset.from_csv(csv_file, {"data_root": data_folder})
+        test_datasets[name] = ds.filtered_sorted(sort_key="duration")
+
+    sex_to_int = {"M": 0, "F": 1}  # (:464-472)
+    datasets = [train_data, valid_data] + list(test_datasets.values())
+    for ds in datasets:
+        ds.add_dynamic_item(lambda wav: read_audio(wav), takes=["wav"], provides=["sig"])
+        ds.add_dynamic_item(
+            lambda sex: np.int64(sex_to_int[sex]), takes=["sex"], provides=["gender"]
+        )
+        keys = ["id", "sig", "gender", "wrd"]
+        if tokenizer is not None:
+            bos = int(hparams.get("bos_index", 1))
+            eos = int(hparams.get("eos_index", 2))
+
+            def tokens_pipeline(wrd):
+                ids = tokenizer.encode_as_ids(wrd)
+                return (
+                    np.asarray([bos] + ids, np.int64),
+                    np.asarray(ids + [eos], np.int64),
+                    np.asarray(ids, np.int64),
+                )
+
+            ds.add_dynamic_item(
+                tokens_pipeline, takes=["wrd"], provides=["tokens_bos", "tokens_eos", "tokens"]
+            )
+            keys += ["tokens_bos", "tokens_eos", "tokens"]
+        ds.set_output_keys(keys)
+    return train_data, valid_data, test_datasets
+
+
+def make_loaders(hparams, train_data, valid_data, test_datasets):
+    batch_size = int(hparams.get("batch_size", 3))
+    durations = [float(d) for d in train_data.raw_values("duration")] or [1.0]
+    sr = int(hparams.get("sample_rate", 16000))
+    # bucket wav lengths so padded fbank time is a multiple of 36 frames:
+    # T_frames = 1 + len/160; choose len = (36k - 1) * 160
+    max_len = int(max(durations) * sr) + sr // 10
+    buckets = []
+    k = 1
+    while True:
+        b = (36 * k - 1) * 160
+        buckets.append(b)
+        if b >= max_len:
+            break
+        k += 1
+    bucket_map = {"sig": buckets}
+    seed = int(hparams.get("seed", 0))
+    mk = lambda ds, shuffle: SaveableDataLoader(
+        ds, batch_size=batch_size, shuffle=shuffle, seed=seed, bucket_map=bucket_map,
+        drop_last=shuffle,
+    )
+    loaders = {name: mk(ds, False) for name, ds in test_datasets.items()}
+    return mk(train_data, hparams.get("sorting", "random") == "random"), mk(valid_data, False), loaders
+
+
+def main(argv=None):
+    from ..config import load_config, parse_arguments
+
+    config_path, run_opts, overrides = parse_arguments(argv if argv is not None else sys.argv[1:])
+    hparams = load_config(config_path, overrides)
+    create_experiment_directory(hparams["output_folder"], config_path, overrides)
+    run_on_main(
+        prepare_librispeech,
+        data_folder=hparams["data_folder"],
+        tr_splits=hparams.get("train_splits", []),
+        dev_splits=hparams.get("dev_splits", []),
+        te_splits=hparams.get("test_splits", []),
+        save_folder=hparams["data_folder"],
+        merge_lst=hparams.get("train_splits", []),
+        merge_name=hparams.get("train_csv"),
+        skip_prep=hparams.get("skip_prep", False),
+    )
+    # optional frozen ASR (utility loss + WER): its tokenizer drives the
+    # token pipelines (reference loads sentencepiece + pretrained ASR at
+    # speechbrain_convae_train.py:582-593)
+    tokenizer = None
+    asr_dir = hparams.get("asr_checkpoint_dir")
+    if asr_dir:
+        from ..data.tokenizer import UnigramTokenizer
+
+        tok_path = hparams.get("tokenizer_path") or os.path.join(
+            os.path.dirname(asr_dir), "tokenizer.json"
+        )
+        tokenizer = UnigramTokenizer().Load(tok_path)
+
+    train_data, valid_data, test_datasets = dataio_prepare(hparams, tokenizer=tokenizer)
+    train_loader, valid_loader, test_loaders = make_loaders(
+        hparams, train_data, valid_data, test_datasets
+    )
+
+    asr_bundle = None
+    if tokenizer is not None:
+        from .asr_bundle import load_asr_bundle
+
+        asr_bundle = load_asr_bundle(hparams, tokenizer)
+
+    external = None
+    ext_dir = hparams.get("external_classifier_dir")
+    if ext_dir and os.path.isdir(ext_dir):
+        external = FeatureClassifier.from_checkpoint(
+            ext_dir, emb_dim=int(hparams.get("evaluator_emb_dim", 128))
+        )
+
+    checkpointer = Checkpointer(os.path.join(hparams["save_folder"], "ckpts"))
+    brain = SexAnonymizationBrain(
+        hparams, checkpointer, external_classifier=external, asr_bundle=asr_bundle
+    )
+    brain.init_state(brain._device_batch(next(iter(valid_loader))), seed=int(hparams.get("seed", 0)))
+    checkpointer.recover_if_possible()
+
+    if not run_opts.get("eval_only", False):
+        brain.fit(hparams["epoch_counter"], train_loader, valid_loader)
+
+    for name, loader in test_loaders.items():
+        brain.hparams["wer_file"] = os.path.join(hparams["output_folder"], f"wer_{name}.txt")
+        brain.evaluate(loader, max_key="Utility_Retention")
+    return brain
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Frozen ASR (+LM) attached to the anonymizer: utility loss + WER eval.
+
+Reference behavior being reproduced (speechbrain_convae_train.py):
+  * training utility loss: run the FROZEN pretrained ASR on original and
+    reconstructed features and penalize divergence of the decoder outputs
+    (``loss_utility(recon_prob, orig_prob)`` :97-103; MSE per convae.yaml:81,
+    cosine per transformer.yaml:74) — gradients flow through the
+    reconstruction into the anonymizer, not into the ASR;
+  * VALID: cosine similarity of the two encoder outputs -> utility
+    retention aggregator (:159-166);
+  * TEST: full beam decode (CTC + optional LM fusion) of recon AND orig,
+    WER vs reference transcripts for both (wer_metric / wer_metric2,
+    :168-191), report written via write_stats (:350-351).
+
+The ASR/LM parameters live OUTSIDE the anonymizer TrainState (frozen
+constants closed over by the jitted functions), mirroring the reference's
+separate, non-optimized asr_brain.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding import BeamSearchConfig, beam_search
+from ..decoding.beam_search import hyps_to_lists
+from ..losses import cosine_similarity_loss, mse_loss
+from ..models.asr import ASRModel
+from ..models.transformer import TransformerLM
+from ..eval.wer import ErrorRateStats
+
+
+class ASRBundle:
+    def __init__(
+        self,
+        model: ASRModel,
+        variables: dict,
+        tokenizer,
+        hparams: dict,
+        lm: TransformerLM | None = None,
+        lm_variables: dict | None = None,
+        utility_kind: str = "mse",
+    ):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.hparams = hparams
+        self.lm = lm
+        self.lm_variables = lm_variables
+        self.utility_kind = utility_kind
+        self._build()
+
+    # -- pure fns ---------------------------------------------------------------
+
+    def _forward_dec(self, feats, lens, tokens_bos):
+        enc = self.model.apply(self.variables, feats, lens, method=ASRModel.encode)
+        dec = self.model.apply(self.variables, tokens_bos, enc, lens, method=ASRModel.decode)
+        return enc, dec
+
+    def utility_loss(self, clean, recon, lens, batch):
+        """Differentiable utility term for the anonymizer train step."""
+        tokens_bos = batch[3]
+        enc_o, dec_o = self._forward_dec(clean, lens, tokens_bos)
+        enc_r, dec_r = self._forward_dec(recon, lens, tokens_bos)
+        # frozen ASR: block gradients into the original branch, keep them
+        # through the reconstruction (reference backprops through both ASR
+        # passes but only the recon path reaches trainable params).
+        dec_o = jax.lax.stop_gradient(dec_o)
+        if self.utility_kind == "cosine":
+            return cosine_similarity_loss(dec_r, dec_o)
+        return mse_loss(dec_r, dec_o)
+
+    def _build(self):
+        def encode(feats, lens):
+            return self.model.apply(self.variables, feats, lens, method=ASRModel.encode)
+
+        self._encode = jax.jit(encode)
+
+        def decode(feats, lens, beam_size, length_norm, lm_weight):
+            enc = encode(feats, lens)
+            ctc_logits = self.model.apply(
+                self.variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
+            )
+            p_ctc = jax.nn.log_softmax(ctc_logits, -1)
+
+            def att_step(flat_tokens, step):
+                k = flat_tokens.shape[0] // enc.shape[0]
+                enc_k = jnp.repeat(enc, k, axis=0)
+                lens_k = jnp.repeat(lens, k, axis=0)
+                return self.model.apply(
+                    self.variables, flat_tokens, enc_k, lens_k, step,
+                    method=ASRModel.decode_one_step,
+                )
+
+            lm_step = None
+            if self.lm is not None and lm_weight > 0:
+                def lm_step(flat_tokens, step):  # noqa: F811
+                    logits = self.lm.apply(self.lm_variables, flat_tokens)
+                    return logits[:, step]
+
+            cfg = BeamSearchConfig(
+                beam_size=beam_size,
+                bos_index=int(self.hparams.get("bos_index", 1)),
+                eos_index=int(self.hparams.get("eos_index", 2)),
+                blank_index=int(self.hparams.get("blank_index", 0)),
+                ctc_weight=float(self.hparams.get("ctc_weight_decode", 0.4)),
+                lm_weight=lm_weight,
+                temperature=float(self.hparams.get("temperature", 1.15)),
+                temperature_lm=float(self.hparams.get("temperature_lm", 1.15)),
+                length_normalization=length_norm,
+            )
+            return beam_search(att_step, enc, lens, p_ctc, cfg, lm_step)
+
+        beam = int(self.hparams.get("test_beam_size", 66))
+        lm_w = float(self.hparams.get("lm_weight", 0.6)) if self.lm is not None else 0.0
+        self._decode_test = jax.jit(lambda f, l: decode(f, l, beam, True, lm_w))
+
+    # -- anonymizer eval hooks ------------------------------------------------------
+
+    def start_test(self, brain):
+        brain.wer_metric = ErrorRateStats()
+        brain.wer_metric2 = ErrorRateStats()
+
+    def eval_batch(self, brain, batch, stage, recon, clean, db):
+        from ..train.brain import Stage
+
+        lens = db[1]
+        enc_r = self._encode(recon, lens)
+        enc_o = self._encode(clean, lens)
+        r = np.asarray(enc_r).reshape(len(enc_r), -1)
+        o = np.asarray(enc_o).reshape(len(enc_o), -1)
+        num = (r * o).sum(axis=1)
+        den = np.linalg.norm(r, axis=1) * np.linalg.norm(o, axis=1)
+        brain.utility_similarity_aggregator.append(num / np.maximum(den, 1e-8))
+
+        if stage == Stage.TEST:
+            toks_r, len_r, _ = self._decode_test(recon, lens)
+            toks_o, len_o, _ = self._decode_test(clean, lens)
+            pred_r = [self.tokenizer.decode_ids(h).split(" ") for h in hyps_to_lists(toks_r, len_r)]
+            pred_o = [self.tokenizer.decode_ids(h).split(" ") for h in hyps_to_lists(toks_o, len_o)]
+            target = [w.split(" ") for w in batch.wrd]
+            brain.wer_metric.append(batch.id, pred_r, target)
+            brain.wer_metric2.append(batch.id, pred_o, target)
+
+    def finish_test(self, brain) -> float:
+        wer = brain.wer_metric.summarize("error_rate")
+        wer_file = brain.hparams.get("wer_file")
+        if wer_file:
+            with open(wer_file, "w") as f:
+                brain.wer_metric.write_stats(f)
+        return wer
+
+
+def load_asr_bundle(hparams, tokenizer) -> ASRBundle | None:
+    """Build the frozen bundle from an asr_train recipe checkpoint dir
+    (``asr_checkpoint_dir``), or return None when not configured."""
+    ckpt_dir = hparams.get("asr_checkpoint_dir")
+    if not ckpt_dir or not os.path.isdir(ckpt_dir):
+        return None
+    from ..train.checkpoint import Checkpointer, PytreeRecoverable
+
+    model = ASRModel(
+        input_feats=int(hparams.get("n_mels", 80)),
+        d_model=int(hparams.get("d_model", 768)),
+        nhead=int(hparams.get("nhead", 8)),
+        num_encoder_layers=int(hparams.get("num_encoder_layers", 12)),
+        num_decoder_layers=int(hparams.get("num_decoder_layers", 6)),
+        d_ffn=int(hparams.get("d_ffn", 3072)),
+        output_neurons=int(hparams.get("output_neurons", 5000)),
+    )
+    rng = jax.random.PRNGKey(0)
+    feats = jnp.zeros((1, 8, int(hparams.get("n_mels", 80))))
+    toks = jnp.zeros((1, 3), jnp.int32)
+    variables = model.init(rng, feats, toks, jnp.ones((1,)))
+    holder = {"params": variables["params"]}
+    ckptr = Checkpointer(
+        ckpt_dir,
+        {"model": PytreeRecoverable(lambda: holder["params"], lambda p: holder.__setitem__("params", p))},
+    )
+    found = ckptr.recover_if_possible(max_key="ACC")
+    if found is None:
+        raise FileNotFoundError(f"no ASR checkpoint under {ckpt_dir}")
+    new_vars = {"params": holder["params"], **{k: v for k, v in variables.items() if k != "params"}}
+    utility_kind = hparams.get("utility_loss_kind", "mse")
+    return ASRBundle(model, new_vars, tokenizer, hparams, utility_kind=utility_kind)

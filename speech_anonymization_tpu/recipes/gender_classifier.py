@@ -46,9 +46,15 @@ from ..eval.metrics import AccuracyStats
 
 
 class GenderBrain(Brain):
-    """Jit-compiled trainer for the x-vector gender classifier."""
+    """Jit-compiled trainer for the x-vector gender classifier.
 
-    def __init__(self, hparams: dict, checkpointer=None, mesh=None):
+    ``recon_model`` (optional): a frozen anonymizer applied between
+    normalization and the classifier — the recon-retrain variant
+    (gender_classifier_train_recon.py:58-93), measuring attack accuracy
+    AFTER anonymization. Pass a pair (flax module, variables).
+    """
+
+    def __init__(self, hparams: dict, checkpointer=None, mesh=None, recon_model=None):
         super().__init__(hparams, checkpointer, hparams.get("ckpt_interval_minutes"))
         self.mesh = mesh
         self.fbank: Fbank = hparams["compute_features"]
@@ -59,6 +65,7 @@ class GenderBrain(Brain):
         self.train_logger: FileTrainLogger = hparams["train_logger"]
         self.epoch_counter: EpochCounter = hparams["epoch_counter"]
         self.optimizer = adam_like_reference(lr=hparams.get("lr_start", 1e-3))
+        self.recon_model = recon_model
         self.state: TrainState | None = None
         self._build_steps()
 
@@ -67,6 +74,16 @@ class GenderBrain(Brain):
     def _forward(self, params, model_state, norm_state, wavs, lens, epoch, train: bool):
         feats = self.fbank(wavs)
         feats, new_norm = self.normalizer(norm_state, feats, lens, epoch, training=train)
+        if self.recon_model is not None:
+            # frozen anonymizer between normalize and the classifier
+            # (gender_classifier_train_recon.py:87-93, under no_grad)
+            module, variables = self.recon_model
+            t = feats.shape[1]
+            pad = (-t) % 36 if type(module).__name__ != "FullyConnectedAutoencoder" else 0
+            padded = jnp.pad(feats, ((0, 0), (0, pad), (0, 0))) if pad else feats
+            out = module.apply(variables, padded, train=False)
+            recon = out[0] if isinstance(out, tuple) else out
+            feats = jax.lax.stop_gradient(recon[:, :t])
         variables = {"params": params["embedding_model"], **model_state["embedding_model"]}
         if train:
             emb, mut = self.embedding_model.apply(
@@ -157,6 +174,13 @@ class GenderBrain(Brain):
                     lambda s: self._set_norm(s),
                 ),
             )
+            self.checkpointer.add_recoverable(
+                "model_state",
+                PytreeRecoverable(
+                    lambda: self.state.model_state,
+                    lambda s: self._set_model_state(s),
+                ),
+            )
             self.checkpointer.add_recoverable("counter", self.epoch_counter)
             self.checkpointer.add_recoverable("lr_annealing", self.lr_annealing)
 
@@ -167,6 +191,9 @@ class GenderBrain(Brain):
 
     def _set_norm(self, s):
         self.state = self.state.replace(norm_state=jax.tree_util.tree_map(jnp.asarray, s))
+
+    def _set_model_state(self, s):
+        self.state = self.state.replace(model_state=jax.tree_util.tree_map(jnp.asarray, s))
 
     # -- batch adapters -----------------------------------------------------------
 
@@ -278,6 +305,37 @@ def _loaders(hparams, train_data, valid_data, test_data):
     return mk(train_data, True), mk(valid_data, False), mk(test_data, False)
 
 
+def load_recon_model(ckpt_dir: str, model_type: str = "fcae", n_mels: int = 80):
+    """Load a frozen anonymizer (module, variables) from an anonymizer-recipe
+    checkpoint directory for the recon-retrain variant."""
+    import jax as _jax
+
+    from ..train.checkpoint import Checkpointer as _Ckptr, PytreeRecoverable as _PR
+    from .anonymizer import MODEL_TYPES, _pad_time_to_multiple
+
+    module = MODEL_TYPES[model_type]()
+    rng = _jax.random.PRNGKey(0)
+    t0 = 36 if model_type != "fcae" else 8
+    feats = jnp.zeros((1, t0, n_mels))
+    variables = module.init({"params": rng, "dummy": rng}, feats, train=False)
+    holder = {
+        "params": variables["params"],
+        "model_state": {k: v for k, v in variables.items() if k != "params"},
+    }
+    ckptr = _Ckptr(
+        ckpt_dir,
+        {
+            "model": _PR(lambda: holder["params"], lambda p: holder.__setitem__("params", p)),
+            "model_state": _PR(
+                lambda: holder["model_state"], lambda s: holder.__setitem__("model_state", s)
+            ),
+        },
+    )
+    if ckptr.recover_if_possible(max_key="Utility_Retention") is None:
+        raise FileNotFoundError(f"no anonymizer checkpoint under {ckpt_dir}")
+    return module, {"params": holder["params"], **holder["model_state"]}
+
+
 def main(argv=None):
     from ..config import load_config, parse_arguments
 
@@ -299,8 +357,19 @@ def main(argv=None):
     train_data, valid_data, test_data, _ = dataio_prepare(hparams)
     train_loader, valid_loader, test_loader = _loaders(hparams, train_data, valid_data, test_data)
 
+    # recon-retrain variant: frozen anonymizer from a trained checkpoint
+    # (gender_classifier_train_recon.py:329-338 / gender_classifier_recon.yaml)
+    recon_model = None
+    recon_dir = hparams.get("trained_recon_model_dir")
+    if recon_dir and os.path.isdir(recon_dir):
+        recon_model = load_recon_model(
+            recon_dir,
+            model_type=hparams.get("recon_model_type", "fcae"),
+            n_mels=int(hparams.get("n_mels", 80)),
+        )
+
     checkpointer = Checkpointer(hparams["save_folder"] + "/ckpts")
-    brain = GenderBrain(hparams, checkpointer=checkpointer)
+    brain = GenderBrain(hparams, checkpointer=checkpointer, recon_model=recon_model)
     brain.init_state(brain._device_batch(next(iter(valid_loader))))
     checkpointer.recover_if_possible()
 

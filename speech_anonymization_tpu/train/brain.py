@@ -16,6 +16,7 @@ import time
 from typing import Any, Iterable
 
 from .checkpoint import Checkpointer
+from .profiler import StepTimer, TraceProfiler
 from ..parallel.mesh import is_main_process
 
 
@@ -37,6 +38,17 @@ class Brain:
         self.ckpt_interval_minutes = ckpt_interval_minutes
         self.step = 0
         self.train_stats: dict = {}
+        self.step_timer = StepTimer()
+        profile_dir = self.hparams.get("profile_dir")
+        self.profiler = (
+            TraceProfiler(
+                profile_dir,
+                int(self.hparams.get("profile_start_step", 10)),
+                int(self.hparams.get("profile_num_steps", 10)),
+            )
+            if profile_dir
+            else None
+        )
 
     # -- subclass responsibilities -------------------------------------------
 
@@ -80,7 +92,13 @@ class Brain:
             t0 = time.time()
             for batch in train_set:
                 self.step += 1
+                if self.profiler is not None:
+                    self.profiler.maybe_start(self.step)
+                self.step_timer.start()
                 loss = float(self.fit_batch(batch, epoch))
+                self.step_timer.stop()
+                if self.profiler is not None:
+                    self.profiler.maybe_stop(self.step)
                 total += loss
                 count += 1
                 if (

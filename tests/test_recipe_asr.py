@@ -1,0 +1,77 @@
+"""End-to-end ASR recipe test: overfit a tiny transformer on the fixture,
+then beam-decode and check the WER pipeline works (train loss drops, WER
+report generated, decoding returns word lists)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from speech_anonymization_tpu.recipes import asr_train as recipe
+from tests.fixtures import make_fake_librispeech
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "transformer.yaml")
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ls"))
+    # few distinct sentences so a tiny model can overfit
+    make_fake_librispeech(root, utts_per_speaker=3, duration_s=0.5, seed=3)
+    out = str(tmp_path_factory.mktemp("asr_out"))
+    argv = [
+        CFG,
+        "--data_folder", root,
+        "--train_splits", '["train-clean"]',
+        "--dev_splits", '["train-clean"]',
+        "--test_splits", '["train-clean"]',
+        "--train_csv", os.path.join(root, "train-clean.csv"),
+        "--valid_csv", os.path.join(root, "train-clean.csv"),
+        "--test_csv", f'["{os.path.join(root, "train-clean.csv")}"]',
+        "--output_folder", out,
+        "--save_folder", os.path.join(out, "save"),
+        "--train_log", os.path.join(out, "train_log.txt"),
+        "--batch_size", "6",
+        "--gradient_accumulation", "1",
+        "--number_of_epochs", "3",
+        "--d_model", "32",
+        "--nhead", "4",
+        "--num_encoder_layers", "2",
+        "--num_decoder_layers", "1",
+        "--d_ffn", "64",
+        "--output_neurons", "64",
+        "--valid_beam_size", "2",
+        "--test_beam_size", "2",
+        "--valid_search_interval", "100",
+        "--noam_annealing", "null",
+        "--lr_adam", "0.005",
+    ]
+    brain = recipe.main(argv)
+    return brain, out
+
+
+def test_asr_loss_decreases(trained):
+    brain, out = trained
+    lines = open(os.path.join(out, "train_log.txt")).read().strip().splitlines()
+    first = float(lines[0].split("train loss: ")[1].split(" ")[0].rstrip(","))
+    last_train = [l for l in lines if "train loss" in l][-1]
+    last = float(last_train.split("train loss: ")[1].split(" ")[0].rstrip(","))
+    assert last < first, f"train loss did not drop: {first} -> {last}"
+
+
+def test_asr_wer_pipeline(trained):
+    brain, out = trained
+    assert "WER" in brain.test_stats
+    assert 0.0 <= brain.test_stats["WER"] <= 200.0
+    wer_file = os.path.join(out, "wer_train-clean.txt")
+    assert os.path.exists(wer_file)
+    head = open(wer_file).readline()
+    assert head.startswith("%WER")
+
+
+def test_tokenizer_artifact(trained):
+    brain, out = trained
+    tok_path = os.path.join(out, "save", "tokenizer.json")
+    assert os.path.exists(tok_path)
+    ids = brain.tokenizer.encode_as_ids("HELLO WORLD")
+    assert brain.tokenizer.decode_ids(ids) == "HELLO WORLD"
