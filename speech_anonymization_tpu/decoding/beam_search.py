@@ -55,21 +55,29 @@ class BeamSearchConfig:
 
 
 def beam_search(
-    att_step_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    att_step_fn: Callable[[jax.Array, jax.Array], jax.Array] | None,
     enc_out: jax.Array,
     enc_lens: jax.Array,
     ctc_log_probs: jax.Array | None,
     cfg: BeamSearchConfig,
     lm_step_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     max_steps: int | None = None,
+    att_cached: tuple[Callable, Callable] | None = None,
+    lm_cached: tuple[Callable, Callable] | None = None,
 ):
     """Decode. Returns (tokens (B, U_max), lengths (B,), scores (B,)).
 
-    ``att_step_fn(tokens (N, U_max), step) -> (N, V)`` next-token LOGITS for
-    the prefix tokens[:, :step+1] (the decoder sees the full static buffer
-    with a causal mask; logits taken at column ``step``). ``lm_step_fn``
-    same contract. ``ctc_log_probs``: (B, T, V) from the ctc head, or None
-    to disable joint scoring. Temperatures are applied here.
+    Two decoder interfaces:
+      * full-prefix: ``att_step_fn(tokens (N, U_max), step) -> (N, V)``
+        next-token LOGITS for the prefix tokens[:, :step+1] (static buffer,
+        causal mask; logits at column ``step``) — O(U^2) total;
+      * KV-cached: ``att_cached = (init_fn, step_fn)`` with
+        ``init_fn(n, u_max) -> state`` and
+        ``step_fn(state, prev_token (N,), step) -> (logits (N, V), state)``
+        — O(U) per step; beam reordering gathers the cache.
+    ``lm_step_fn``/``lm_cached`` follow the same contracts.
+    ``ctc_log_probs``: (B, T, V) from the ctc head, or None to disable
+    joint scoring. Temperatures are applied here.
     """
     b, t_enc, _ = enc_out.shape
     k = cfg.beam_size
@@ -96,6 +104,8 @@ def beam_search(
     fin_len = jnp.zeros((b,), jnp.int32)
 
     att_w = 1.0 - cfg.ctc_weight if use_ctc else 1.0
+    att_state0 = att_cached[0](b * k, u_max) if att_cached is not None else ()
+    lm_state0 = lm_cached[0](b * k, u_max) if lm_cached is not None else ()
 
     def flatten(x):  # (B, K, ...) -> (B*K, ...)
         return x.reshape((b * k,) + x.shape[2:])
@@ -104,13 +114,21 @@ def beam_search(
         return x.reshape((b, k) + x.shape[1:])
 
     def step_fn(carry, step):
-        tokens, acc, ctc_state, fin_score, fin_tokens, fin_len = carry
+        tokens, acc, ctc_state, fin_score, fin_tokens, fin_len, att_state, lm_state = carry
         flat_tokens = flatten(tokens)  # (B*K, U_max)
+        prev_token = flat_tokens[jnp.arange(b * k), step]  # last committed
 
-        att_logits = att_step_fn(flat_tokens, step)  # (B*K, V)
+        if att_cached is not None:
+            att_logits, att_state = att_cached[1](att_state, prev_token, step)
+        else:
+            att_logits = att_step_fn(flat_tokens, step)  # (B*K, V)
         att_lp = jax.nn.log_softmax(att_logits / cfg.temperature, -1)
         scores_step = att_w * att_lp
-        if lm_step_fn is not None and cfg.lm_weight > 0:
+        if lm_cached is not None and cfg.lm_weight > 0:
+            lm_logits, lm_state = lm_cached[1](lm_state, prev_token, step)
+            lm_lp = jax.nn.log_softmax(lm_logits / cfg.temperature_lm, -1)
+            scores_step = scores_step + cfg.lm_weight * lm_lp
+        elif lm_step_fn is not None and cfg.lm_weight > 0:
             lm_logits = lm_step_fn(flat_tokens, step)
             lm_lp = jax.nn.log_softmax(lm_logits / cfg.temperature_lm, -1)
             scores_step = scores_step + cfg.lm_weight * lm_lp
@@ -154,8 +172,8 @@ def beam_search(
         parent_acc = jnp.take_along_axis(acc, parent, axis=1)
         new_acc = parent_acc + new_additive
 
+        flat_parent = (parent + jnp.arange(b)[:, None] * k).reshape(-1)
         if use_ctc:
-            flat_parent = (parent + jnp.arange(b)[:, None] * k).reshape(-1)
             gathered = CTCPrefixState(
                 r_nb=ctc_state.r_nb[flat_parent],
                 r_b=ctc_state.r_b[flat_parent],
@@ -165,12 +183,18 @@ def beam_search(
             new_ctc = ctc_advance_state(x_ctc, gathered, token.reshape(-1), cfg.blank_index)
         else:
             new_ctc = ctc_state
+        # reorder decoder caches to the new beam order
+        reorder = lambda tree: jax.tree_util.tree_map(lambda a: a[flat_parent], tree)
+        att_state = reorder(att_state) if att_cached is not None else att_state
+        lm_state = reorder(lm_state) if lm_cached is not None else lm_state
 
-        return (new_tokens, new_acc, new_ctc, fin_score, fin_tokens, fin_len), None
+        return (
+            new_tokens, new_acc, new_ctc, fin_score, fin_tokens, fin_len, att_state, lm_state
+        ), None
 
-    carry = (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len)
+    carry = (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len, att_state0, lm_state0)
     carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_steps))
-    tokens, acc, _, fin_score, fin_tokens, fin_len = carry
+    tokens, acc, _, fin_score, fin_tokens, fin_len = carry[:6]
 
     # fall back to best alive when nothing finished
     norm = (

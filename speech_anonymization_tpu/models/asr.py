@@ -94,6 +94,11 @@ class ASRModel(nn.Module):
         p_ctc, p_seq = self.heads(enc_out, dec_out)
         return enc_out, dec_out, p_ctc, p_seq
 
+    def decode_step_cached(self, token, enc_out, cache, step, wav_lens=None):
+        """KV-cached single-step decode: (B,) token -> ((B, V) logits, cache)."""
+        hidden, new_cache = self.transformer.decode_step(token, enc_out, cache, step, wav_lens)
+        return self.heads.seq_logits(hidden), new_cache
+
     def decode_one_step(self, tokens_prefix, enc_out, wav_lens=None, step=None):
         """RAW next-token logits for the beam search (which applies
         temperature + log_softmax itself): (B, U) prefix -> (B, V).

@@ -34,6 +34,24 @@ def lengths_to_padding_mask(lengths: jax.Array, max_len: int) -> jax.Array:
     return jnp.arange(max_len)[None, :] < n[:, None]
 
 
+def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: int,
+                  dtype=jnp.float32, pad_index: int = 0) -> dict:
+    """KV + token buffers for incremental decoding (callable outside
+    apply — flax setup attributes are unavailable there). The token buffer
+    lets cached steps reproduce the full path's pad-key masking."""
+    return {
+        "layers": [
+            {
+                "k": jnp.zeros((batch, u_max, nhead, d_head), dtype),
+                "v": jnp.zeros((batch, u_max, nhead, d_head), dtype),
+            }
+            for _ in range(num_layers)
+        ],
+        # init to pad so un-written positions are masked like the full path
+        "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
+    }
+
+
 def sinusoidal_positions(max_len: int, d_model: int) -> jnp.ndarray:
     pos = jnp.arange(max_len)[:, None].astype(jnp.float32)
     div = jnp.exp(jnp.arange(0, d_model, 2).astype(jnp.float32) * (-math.log(10000.0) / d_model))
@@ -68,12 +86,32 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, q, kv, mask=None, train: bool = False):
+    def __call__(self, q, kv, mask=None, train: bool = False, cache=None, cache_index=None):
+        """Full attention, or single-step cached decoding.
+
+        Cached mode (``cache`` = dict with 'k','v' buffers (B, U_max, H, D),
+        ``cache_index`` = current step): q is (B, 1, D_model); the new
+        token's k/v are written at ``cache_index`` and q attends over the
+        buffer prefix. Returns (out, new_cache) in cached mode.
+        """
         d_head = self.d_model // self.nhead
         dense = lambda name: nn.DenseGeneral((self.nhead, d_head), name=name)
         qh = dense("q")(q)
         kh = dense("k")(kv)
         vh = dense("v")(kv)
+        if cache is not None:
+            k_buf = jax.lax.dynamic_update_slice_in_dim(cache["k"], kh, cache_index, axis=1)
+            v_buf = jax.lax.dynamic_update_slice_in_dim(cache["v"], vh, cache_index, axis=1)
+            u_max = k_buf.shape[1]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, k_buf) / math.sqrt(d_head)
+            valid = jnp.arange(u_max)[None, None, None, :] <= cache_index
+            scores = jnp.where(valid, scores, NEG_INF)
+            if mask is not None:
+                scores = jnp.where(mask, scores, NEG_INF)
+            weights = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_buf)
+            out = nn.DenseGeneral(self.d_model, axis=(-2, -1), name="out")(out)
+            return out, {"k": k_buf, "v": v_buf}
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
@@ -107,11 +145,22 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
-        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout)(x, x, mask, train)
+    def __call__(self, x, mask=None, train: bool = False, cache=None, cache_index=None):
+        if cache is not None:
+            attn, new_cache = MultiHeadAttention(
+                self.d_model, self.nhead, self.dropout, name="attn"
+            )(x, x, mask, train, cache=cache, cache_index=cache_index)
+        else:
+            attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="attn")(
+                x, x, mask, train
+            )
+            new_cache = None
         x = nn.LayerNorm()(x + attn)
         ff = FeedForward(self.d_model, self.d_ffn, self.dropout)(x, train)
-        return nn.LayerNorm()(x + ff)
+        out = nn.LayerNorm()(x + ff)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class DecoderLayer(nn.Module):
@@ -121,17 +170,27 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, memory, self_mask=None, cross_mask=None, train: bool = False):
-        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")(
-            x, x, self_mask, train
-        )
+    def __call__(self, x, memory, self_mask=None, cross_mask=None, train: bool = False,
+                 cache=None, cache_index=None):
+        if cache is not None:
+            attn, new_cache = MultiHeadAttention(
+                self.d_model, self.nhead, self.dropout, name="self_attn"
+            )(x, x, self_mask, train, cache=cache, cache_index=cache_index)
+        else:
+            attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")(
+                x, x, self_mask, train
+            )
+            new_cache = None
         x = nn.LayerNorm()(x + attn)
         cross = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="cross_attn")(
             x, memory, cross_mask, train
         )
         x = nn.LayerNorm()(x + cross)
         ff = FeedForward(self.d_model, self.d_ffn, self.dropout)(x, train)
-        return nn.LayerNorm()(x + ff)
+        out = nn.LayerNorm()(x + ff)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class TransformerASR(nn.Module):
@@ -196,6 +255,45 @@ class TransformerASR(nn.Module):
         dec = self.decode(tgt_tokens, memory, src_lengths, train)
         return memory, dec
 
+    # -- KV-cached incremental decoding (beam-search hot path) ------------------
+
+    def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> list[dict]:
+        d_head = self.d_model // self.nhead
+        return [
+            {
+                "k": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
+                "v": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
+            }
+            for _ in range(self.num_decoder_layers)
+        ]
+
+    def decode_step(self, token, memory, cache, step, src_lengths=None):
+        """One decoder step with KV cache.
+
+        token: (B,) int32 token at position ``step``; cache: dict from
+        :func:`make_kv_cache`; returns (hidden (B, D), new_cache).
+        O(U) per step instead of the O(U^2) full-prefix recompute; key
+        masking matches the full path (causal + pad keys excluded).
+        """
+        b = token.shape[0]
+        t = memory.shape[1]
+        x = self.embed(token[:, None]) * math.sqrt(self.d_model)
+        x = x + jax.lax.dynamic_slice_in_dim(self.pe, step, 1, axis=0)[None]
+        tok_buf = jax.lax.dynamic_update_slice_in_dim(
+            cache["tokens"], token[:, None], step, axis=1
+        )
+        self_mask = (tok_buf != self.pad_index)[:, None, None, :]
+        cross_mask = None
+        if src_lengths is not None:
+            cross_mask = lengths_to_padding_mask(src_lengths, t)[:, None, None, :]
+        new_layers = []
+        for layer, layer_cache in zip(self.decoder_layers, cache["layers"]):
+            x, c = layer(
+                x, memory, self_mask, cross_mask, False, cache=layer_cache, cache_index=step
+            )
+            new_layers.append(c)
+        return x[:, 0], {"layers": new_layers, "tokens": tok_buf}
+
 
 class TransformerLM(nn.Module):
     """Causal LM: 12 encoder layers over normalized token embeddings."""
@@ -227,3 +325,27 @@ class TransformerLM(nn.Module):
         for layer in self.layers:
             x = layer(x, mask, train)
         return self.out(x)
+
+    def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> list[dict]:
+        d_head = self.d_model // self.nhead
+        return [
+            {
+                "k": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
+                "v": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
+            }
+            for _ in range(self.num_layers)
+        ]
+
+    def decode_step(self, token, cache, step):
+        """(B,) token at position ``step`` -> ((B, V) logits, new_cache)."""
+        x = self.embed(token[:, None]) * math.sqrt(self.d_model)
+        x = x + jax.lax.dynamic_slice_in_dim(self.pe, step, 1, axis=0)[None]
+        tok_buf = jax.lax.dynamic_update_slice_in_dim(
+            cache["tokens"], token[:, None], step, axis=1
+        )
+        mask = (tok_buf != self.pad_index)[:, None, None, :]
+        new_layers = []
+        for layer, layer_cache in zip(self.layers, cache["layers"]):
+            x, c = layer(x, mask, False, cache=layer_cache, cache_index=step)
+            new_layers.append(c)
+        return self.out(x[:, 0]), {"layers": new_layers, "tokens": tok_buf}

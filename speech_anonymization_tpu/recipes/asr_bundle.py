@@ -80,26 +80,38 @@ class ASRBundle:
         self._encode = jax.jit(encode)
 
         def decode(feats, lens, beam_size, length_norm, lm_weight):
+            from ..models.transformer import make_kv_cache
+
             enc = encode(feats, lens)
             ctc_logits = self.model.apply(
                 self.variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
             )
             p_ctc = jax.nn.log_softmax(ctc_logits, -1)
+            k = beam_size
+            enc_k = jnp.repeat(enc, k, axis=0)
+            lens_k = jnp.repeat(lens, k, axis=0)
+            m = self.model
+            d_head = m.d_model // m.nhead
 
-            def att_step(flat_tokens, step):
-                k = flat_tokens.shape[0] // enc.shape[0]
-                enc_k = jnp.repeat(enc, k, axis=0)
-                lens_k = jnp.repeat(lens, k, axis=0)
-                return self.model.apply(
-                    self.variables, flat_tokens, enc_k, lens_k, step,
-                    method=ASRModel.decode_one_step,
-                )
-
-            lm_step = None
+            att_cached = (
+                lambda n, u_max: make_kv_cache(n, u_max, m.num_decoder_layers, m.nhead, d_head),
+                lambda state, prev_tok, step: self.model.apply(
+                    self.variables, prev_tok, enc_k, state, step, lens_k,
+                    method=ASRModel.decode_step_cached,
+                ),
+            )
+            lm_cached = None
             if self.lm is not None and lm_weight > 0:
-                def lm_step(flat_tokens, step):  # noqa: F811
-                    logits = self.lm.apply(self.lm_variables, flat_tokens)
-                    return logits[:, step]
+                lm_d_head = self.lm.d_model // self.lm.nhead
+                lm_cached = (
+                    lambda n, u_max: make_kv_cache(
+                        n, u_max, self.lm.num_layers, self.lm.nhead, lm_d_head
+                    ),
+                    lambda state, prev_tok, step: self.lm.apply(
+                        self.lm_variables, prev_tok, state, step,
+                        method=TransformerLM.decode_step,
+                    ),
+                )
 
             cfg = BeamSearchConfig(
                 beam_size=beam_size,
@@ -112,7 +124,9 @@ class ASRBundle:
                 temperature_lm=float(self.hparams.get("temperature_lm", 1.15)),
                 length_normalization=length_norm,
             )
-            return beam_search(att_step, enc, lens, p_ctc, cfg, lm_step)
+            return beam_search(
+                None, enc, lens, p_ctc, cfg, att_cached=att_cached, lm_cached=lm_cached
+            )
 
         beam = int(self.hparams.get("test_beam_size", 66))
         lm_w = float(self.hparams.get("lm_weight", 0.6)) if self.lm is not None else 0.0

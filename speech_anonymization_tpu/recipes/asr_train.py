@@ -167,6 +167,8 @@ class ASRBrain(Brain):
         self._eval_loss = jax.jit(eval_loss)
 
         def decode(params, model_state, norm_state, wavs, lens, epoch, beam_size, length_norm):
+            from ..models.transformer import make_kv_cache
+
             feats, _ = self._features(norm_state, wavs, lens, epoch, False)
             variables = {"params": params, **model_state}
             enc = self.model.apply(variables, feats, lens, method=ASRModel.encode)
@@ -174,15 +176,18 @@ class ASRBrain(Brain):
                 variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
             )
             p_ctc = jax.nn.log_softmax(ctc_logits, -1)
-
-            def att_step(flat_tokens, step):
-                k = flat_tokens.shape[0] // enc.shape[0]
-                enc_k = jnp.repeat(enc, k, axis=0)
-                lens_k = jnp.repeat(lens, k, axis=0)
-                return self.model.apply(
-                    variables, flat_tokens, enc_k, lens_k, step,
-                    method=ASRModel.decode_one_step,
-                )
+            enc_k = jnp.repeat(enc, beam_size, axis=0)
+            lens_k = jnp.repeat(lens, beam_size, axis=0)
+            m = self.model
+            att_cached = (
+                lambda n, u_max: make_kv_cache(
+                    n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead
+                ),
+                lambda state, prev_tok, step: self.model.apply(
+                    variables, prev_tok, enc_k, state, step, lens_k,
+                    method=ASRModel.decode_step_cached,
+                ),
+            )
 
             cfg = BeamSearchConfig(
                 beam_size=beam_size,
@@ -193,7 +198,7 @@ class ASRBrain(Brain):
                 lm_weight=0.0,
                 length_normalization=length_norm,
             )
-            return beam_search(att_step, enc, lens, p_ctc, cfg)
+            return beam_search(None, enc, lens, p_ctc, cfg, att_cached=att_cached)
 
         self._decode_valid = jax.jit(
             lambda p, ms, ns, w, l, e: decode(

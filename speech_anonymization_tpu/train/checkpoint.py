@@ -107,7 +107,12 @@ class Checkpointer:
         meta.setdefault("unixtime", time.time())
         if name is None:
             stamp = time.strftime("%Y-%m-%d+%H-%M-%S")
-            name = f"CKPT+{stamp}+{int((time.time() % 1) * 100):02d}"
+            seq = 0
+            while True:
+                name = f"CKPT+{stamp}+{seq:02d}"
+                if not os.path.exists(os.path.join(self.checkpoints_dir, name)):
+                    break
+                seq += 1
         path = os.path.join(self.checkpoints_dir, name)
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
@@ -122,7 +127,9 @@ class Checkpointer:
                 with open(fpath, "wb") as f:
                     f.write(serialization.to_bytes(rec))
         _write_meta(os.path.join(tmp, META_FILE), meta)
-        os.replace(tmp, path) if not os.path.exists(path) else shutil.rmtree(tmp)
+        if os.path.exists(path):  # explicit name collision: replace
+            shutil.rmtree(path)
+        os.replace(tmp, path)
         self._last_save_time = time.time()
         return Checkpoint(path)
 

@@ -1,0 +1,85 @@
+"""KV-cached decoding must match the full-prefix path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_anonymization_tpu.decoding import BeamSearchConfig, beam_search
+from speech_anonymization_tpu.decoding.beam_search import hyps_to_lists
+from speech_anonymization_tpu.models.asr import ASRModel
+from speech_anonymization_tpu.models.transformer import TransformerLM, make_kv_cache
+
+KEY = jax.random.PRNGKey(0)
+SMALL = dict(d_model=32, nhead=4, num_encoder_layers=1, num_decoder_layers=2,
+             d_ffn=64, output_neurons=24)
+
+
+def _setup():
+    model = ASRModel(**SMALL)
+    feats = jax.random.normal(KEY, (2, 24, 80))
+    tokens = jnp.asarray([[1, 5, 6], [1, 7, 3]])
+    lens = jnp.asarray([1.0, 0.75])
+    variables = model.init(KEY, feats, tokens, lens)
+    enc = model.apply(variables, feats, lens, method=ASRModel.encode)
+    return model, variables, enc, lens
+
+
+def test_decode_step_cached_matches_full_prefix():
+    model, variables, enc, lens = _setup()
+    b = enc.shape[0]
+    u_max = 6
+    tokens = jnp.asarray([[1, 5, 6, 9, 2, 0], [1, 7, 3, 4, 8, 2]], jnp.int32)
+    cache = make_kv_cache(b, u_max, SMALL["num_decoder_layers"], SMALL["nhead"],
+                          SMALL["d_model"] // SMALL["nhead"])
+    for step in range(4):
+        full = model.apply(
+            variables, tokens, enc, lens, step, method=ASRModel.decode_one_step
+        )
+        cached, cache = model.apply(
+            variables, tokens[:, step], enc, cache, step, lens,
+            method=ASRModel.decode_step_cached,
+        )
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(full), atol=2e-4), step
+
+
+def test_beam_search_cached_equals_uncached():
+    model, variables, enc, lens = _setup()
+    b = enc.shape[0]
+    ctc_logits = model.apply(variables, enc, method=lambda m, e: m.heads.ctc_logits(e))
+    p_ctc = jax.nn.log_softmax(ctc_logits, -1)
+    k = 3
+    enc_k = jnp.repeat(enc, k, axis=0)
+    lens_k = jnp.repeat(lens, k, axis=0)
+
+    def att_step(flat_tokens, step):
+        return model.apply(
+            variables, flat_tokens, enc_k, lens_k, step, method=ASRModel.decode_one_step
+        )
+
+    att_cached = (
+        lambda n, u_max: make_kv_cache(n, u_max, SMALL["num_decoder_layers"], SMALL["nhead"],
+                                       SMALL["d_model"] // SMALL["nhead"]),
+        lambda state, prev, step: model.apply(
+            variables, prev, enc_k, state, step, lens_k, method=ASRModel.decode_step_cached
+        ),
+    )
+    cfg = BeamSearchConfig(beam_size=k, ctc_weight=0.4, length_normalization=True)
+    t_u = beam_search(att_step, enc, lens, p_ctc, cfg, max_steps=5)
+    t_c = beam_search(None, enc, lens, p_ctc, cfg, max_steps=5, att_cached=att_cached)
+    assert hyps_to_lists(*t_u[:2]) == hyps_to_lists(*t_c[:2])
+    np.testing.assert_allclose(np.asarray(t_u[2]), np.asarray(t_c[2]), atol=1e-4)
+
+
+def test_lm_decode_step_matches_full():
+    lm = TransformerLM(vocab=24, d_model=32, nhead=4, num_layers=2, d_ffn=64)
+    tokens = jnp.asarray([[1, 5, 6, 9]], jnp.int32)
+    variables = lm.init(KEY, tokens)
+    full = lm.apply(variables, tokens)
+    cache = make_kv_cache(1, 4, 2, 4, 8)
+    for step in range(4):
+        logits, cache = lm.apply(
+            variables, tokens[:, step], cache, step, method=TransformerLM.decode_step
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full[:, step]), atol=2e-4
+        )
