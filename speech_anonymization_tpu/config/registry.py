@@ -49,6 +49,8 @@ def _register_builtins():
     import math
 
     from .. import losses as L
+    from ..ops.augment import EnvCorrupt, TimeDomainSpecAugment
+    from ..ops.specaugment import SpecAugment
     from ..ops.fbank import Fbank, FbankConfig
     from ..ops.normalization import InputNormalizer
     from ..train.schedulers import NoamScheduler, ReduceLROnPlateau
@@ -73,6 +75,9 @@ def _register_builtins():
     builtins = {
         "Fbank": fbank,
         "InputNormalization": InputNormalizer,
+        "EnvCorrupt": EnvCorrupt,
+        "TimeDomainSpecAugment": TimeDomainSpecAugment,
+        "SpecAugment": SpecAugment,
         "NoamScheduler": NoamScheduler,
         "ReduceLROnPlateau": ReduceLROnPlateau,
         "EpochCounter": EpochCounter,

@@ -66,12 +66,27 @@ class GenderBrain(Brain):
         self.epoch_counter: EpochCounter = hparams["epoch_counter"]
         self.optimizer = adam_like_reference(lr=hparams.get("lr_start", 1e-3))
         self.recon_model = recon_model
+        # waveform augmentations (gender_classifier.yaml:72-84): env_corrupt
+        # doubles the batch with noise-corrupted copies
+        # (gender_classifier_train.py:103-110); augmentation = time-domain
+        # specaugment (speed perturb + dropouts)
+        self.env_corrupt = hparams.get("env_corrupt")
+        self.augmentation = hparams.get("augmentation")
+        self._rng = jax.random.PRNGKey(int(hparams.get("seed", 0)))
         self.state: TrainState | None = None
         self._build_steps()
 
     # -- pure compute ----------------------------------------------------------
 
-    def _forward(self, params, model_state, norm_state, wavs, lens, epoch, train: bool):
+    def _forward(self, params, model_state, norm_state, wavs, lens, epoch, train: bool, rng=None):
+        if train and rng is not None:
+            k1, k2 = jax.random.split(rng)
+            if self.env_corrupt is not None:
+                noisy = self.env_corrupt(k1, wavs, lens)
+                wavs = jnp.concatenate([wavs, noisy], axis=0)
+                lens = jnp.concatenate([lens, lens], axis=0)
+            if self.augmentation is not None:
+                wavs, lens = self.augmentation(k2, wavs, lens)
         feats = self.fbank(wavs)
         feats, new_norm = self.normalizer(norm_state, feats, lens, epoch, training=train)
         if self.recon_model is not None:
@@ -103,11 +118,14 @@ class GenderBrain(Brain):
         new_model_state = {"embedding_model": emb_state, "classifier": clf_state}
         return log_probs, new_model_state, new_norm
 
-    def _loss_fn(self, params, model_state, norm_state, batch, epoch):
+    def _loss_fn(self, params, model_state, norm_state, batch, epoch, rng):
         wavs, lens, labels = batch
         log_probs, new_model_state, new_norm = self._forward(
-            params, model_state, norm_state, wavs, lens, epoch, train=True
+            params, model_state, norm_state, wavs, lens, epoch, train=True, rng=rng
         )
+        if self.env_corrupt is not None:
+            # labels double with the corrupted copies (reference :140-142)
+            labels = jnp.concatenate([labels, labels], axis=0)
         loss = nll_loss(log_probs, labels)
         metrics = {"error": classification_error(log_probs, labels)}
         return loss, (new_model_state, new_norm, metrics)
@@ -207,8 +225,10 @@ class GenderBrain(Brain):
 
     def fit_batch(self, batch, epoch):
         db = self._device_batch(batch)
+        self._rng, key = jax.random.split(self._rng)
         self.state, metrics = self._train_step(
-            self.state, db, jnp.asarray(self.lr_annealing.lr, jnp.float32), jnp.asarray(epoch)
+            self.state, db, jnp.asarray(self.lr_annealing.lr, jnp.float32),
+            jnp.asarray(epoch), key,
         )
         return metrics["loss"]
 

@@ -1,0 +1,71 @@
+"""Data-parallel correctness on the virtual 8-device CPU mesh.
+
+The reference's only parallelism is DDP (SURVEY.md §2.6); here that means
+batch sharding over a 1-D mesh with XLA inserting the gradient all-reduce.
+The key invariant: an 8-way sharded step must produce (numerically) the
+same parameter update as the unsharded step on the same batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_anonymization_tpu.parallel import (
+    data_sharding,
+    is_main_process,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert is_main_process()
+
+
+def test_shard_batch_places_leaves():
+    mesh = make_mesh()
+    batch = (jnp.ones((16, 10)), jnp.ones((16,)))
+    sharded = shard_batch(batch, mesh)
+    assert sharded[0].sharding.spec == data_sharding(mesh).spec
+
+
+def test_sharded_grad_equals_unsharded():
+    from speech_anonymization_tpu.models import FullyConnectedAutoencoder
+    from speech_anonymization_tpu.losses import mse_loss, nll_loss
+
+    mesh = make_mesh()
+    model = FullyConnectedAutoencoder()
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (16, 12, 80))
+    labels = jnp.asarray(np.arange(16) % 2, jnp.int32)
+    variables = model.init(rng, feats)
+    params = variables["params"]
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p, f, y):
+        recon, sex = model.apply({"params": p, **aux}, f)
+        return mse_loss(recon, f) + 0.5 * nll_loss(sex, y)
+
+    grad = jax.jit(jax.grad(loss_fn))
+    g_single = grad(params, feats, labels)
+
+    feats_s = jax.device_put(feats, data_sharding(mesh))
+    labels_s = jax.device_put(labels, data_sharding(mesh))
+    params_r = jax.device_put(params, replicated_sharding(mesh))
+    g_sharded = grad(params_r, feats_s, labels_s)
+
+    flat1 = jax.tree_util.tree_leaves(g_single)
+    flat2 = jax.tree_util.tree_leaves(g_sharded)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_full_train_step_over_mesh():
+    """The graft dryrun path, in-suite: both adversarial phases step."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
