@@ -35,6 +35,7 @@ class UnigramTokenizer:
         self.pieces: list[str] = []
         self.log_probs: dict[str, float] = {}
         self._ids: dict[str, int] = {}
+        self._native = None  # C++ encoder handle (native/tokenizer.cc)
 
     # -- persistence ------------------------------------------------------------
 
@@ -57,6 +58,42 @@ class UnigramTokenizer:
 
     def _reindex(self):
         self._ids = {p: i + len(self.RESERVED) for i, p in enumerate(self.pieces)}
+        self._native = None
+        self._init_native()
+
+    def _init_native(self):
+        """Bind the C++ Viterbi encoder when the native library is built."""
+        import ctypes
+
+        from .audio import _native_lib
+
+        lib = _native_lib()
+        if not lib or not self.pieces or not hasattr(lib, "satpu_tok_create"):
+            return
+        try:
+            lib.satpu_tok_create.restype = ctypes.c_void_p
+            lib.satpu_tok_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int,
+            ]
+            lib.satpu_tok_encode.restype = ctypes.c_long
+            lib.satpu_tok_encode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_long,
+            ]
+            arr = (ctypes.c_char_p * len(self.pieces))(
+                *[p.encode("utf-8") for p in self.pieces]
+            )
+            lps = (ctypes.c_double * len(self.pieces))(
+                *[self.log_probs[p] for p in self.pieces]
+            )
+            handle = lib.satpu_tok_create(arr, lps, len(self.pieces))
+            self._native = (lib, handle)
+        except (AttributeError, OSError):
+            self._native = None
 
     def vocab_size(self) -> int:
         return len(self.RESERVED) + len(self.pieces)
@@ -152,6 +189,14 @@ class UnigramTokenizer:
         sent = self._normalize(text)
         if not sent:
             return []
+        if self._native is not None:
+            import ctypes
+
+            lib, handle = self._native
+            out = (ctypes.c_int * (len(sent) + 1))()
+            m = lib.satpu_tok_encode(handle, sent.encode("utf-8"), out, len(sent) + 1)
+            n_res = len(self.RESERVED)
+            return [out[i] + n_res if out[i] >= 0 else 0 for i in range(m)]
         pieces = self._viterbi(sent, self.log_probs, max(len(p) for p in self.pieces) if self.pieces else 1)
         return [self._ids.get(p, 0) for p in pieces]
 

@@ -407,6 +407,8 @@ class SexAnonymizationBrain(Brain):
         )
         labels = np.asarray(db[2])
         self.sex_classification_acc.append(np.asarray(sex_lp), labels)
+        if stage == Stage.TEST and self.hparams.get("measure_mi"):
+            self.evaluate_batch_collect_mi(recon, labels)
         if self.external_classifier is not None:
             lp_orig, _, _ = self.external_classifier.classify_feats(clean)
             self.sex_classification_acc_extern_orig.append(np.asarray(lp_orig), labels)
@@ -432,8 +434,15 @@ class SexAnonymizationBrain(Brain):
             self.sex_classification_acc_extern = AccuracyStats()
             self.sex_classification_acc_extern_orig = AccuracyStats()
             self.utility_similarity_aggregator = SimilarityMetricsStats()
+            self._mi_feats, self._mi_labels = [], []
             if stage == Stage.TEST and self.asr_bundle is not None:
                 self.asr_bundle.start_test(self)
+
+    def evaluate_batch_collect_mi(self, recon, labels):
+        """Collect pooled recon features for the test-set MI measurement."""
+        pooled = np.asarray(recon).mean(axis=1)  # (B, D) time-mean
+        self._mi_feats.append(pooled)
+        self._mi_labels.append(np.asarray(labels))
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
         if stage == Stage.TRAIN:
@@ -472,6 +481,21 @@ class SexAnonymizationBrain(Brain):
         elif stage == Stage.TEST:
             if self.asr_bundle is not None:
                 stats["WER"] = self.asr_bundle.finish_test(self)
+            if self.hparams.get("measure_mi") and self._mi_feats:
+                # test-set MI between anonymized features and sex labels
+                # (the runnable form of the reference's weight-0 MILoss,
+                # utils/mi_loss.py — SURVEY.md §2.3)
+                from ..losses import GroupSamplingMI
+
+                x = np.concatenate(self._mi_feats)
+                y = np.concatenate(self._mi_labels)
+                n_per = min(int(np.sum(y == 0)), int(np.sum(y == 1)))
+                gs = GroupSamplingMI(
+                    n_samples=n_per, n_classes=2,
+                    n_iterations=int(self.hparams.get("mi_iterations", 20)),
+                )
+                _, mi_mean, mi_std = gs(jnp.asarray(x), y, y, seed=0)
+                stats["MI_bits"] = float(mi_mean)
             self.train_logger.log_stats(
                 {"Epoch loaded": self.epoch_counter.current}, test_stats=stats
             )
@@ -553,10 +577,19 @@ def make_loaders(hparams, train_data, valid_data, test_datasets):
         k += 1
     bucket_map = {"sig": buckets}
     seed = int(hparams.get("seed", 0))
-    mk = lambda ds, shuffle: SaveableDataLoader(
-        ds, batch_size=batch_size, shuffle=shuffle, seed=seed, bucket_map=bucket_map,
-        drop_last=shuffle,
-    )
+    prefetch = int(hparams.get("prefetch_batches", 0) or 0)
+
+    def mk(ds, shuffle):
+        loader = SaveableDataLoader(
+            ds, batch_size=batch_size, shuffle=shuffle, seed=seed, bucket_map=bucket_map,
+            drop_last=shuffle,
+        )
+        if prefetch:
+            from ..data.prefetch import PrefetchLoader
+
+            loader = PrefetchLoader(loader, prefetch, int(hparams.get("loader_threads", 4)))
+        return loader
+
     loaders = {name: mk(ds, False) for name, ds in test_datasets.items()}
     return mk(train_data, hparams.get("sorting", "random") == "random"), mk(valid_data, False), loaders
 
