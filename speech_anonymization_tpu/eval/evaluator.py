@@ -54,16 +54,18 @@ class FeatureClassifier:
         self.norm_state = norm_state
         self.normalizer = normalizer or InputNormalizer(dim=80)
         self.renormalize = renormalize
+        # params enter as jit arguments (not baked constants) so the HLO
+        # stays small for remote compilation
         self._jit_classify = jax.jit(self._classify)
 
-    def _classify(self, feats: jax.Array, lens: jax.Array | None):
+    def _classify(self, params, model_state, norm_state, feats, lens):
         if self.renormalize:
-            normed, _ = self.normalizer(self.norm_state, feats, lens, epoch=10**9, training=False)
+            normed, _ = self.normalizer(norm_state, feats, lens, epoch=10**9, training=False)
         else:
             normed = feats
-        ev = {"params": self.params["embedding_model"], **self.model_state["embedding_model"]}
+        ev = {"params": params["embedding_model"], **model_state["embedding_model"]}
         emb = self.embedding_model.apply(ev, normed, lens, train=False)
-        cv = {"params": self.params["classifier"], **self.model_state["classifier"]}
+        cv = {"params": params["classifier"], **model_state["classifier"]}
         log_probs = self.classifier.apply(cv, emb, train=False)
         score = jnp.max(log_probs, axis=-1)
         index = jnp.argmax(log_probs, axis=-1)
@@ -71,7 +73,7 @@ class FeatureClassifier:
 
     def classify_feats(self, feats, lens=None):
         """(B, T, D) fbanks -> (log_probs (B, C), score (B,), index (B,))."""
-        return self._jit_classify(feats, lens)
+        return self._jit_classify(self.params, self.model_state, self.norm_state, feats, lens)
 
     __call__ = classify_feats
 

@@ -74,17 +74,20 @@ class ASRBundle:
         return mse_loss(dec_r, dec_o)
 
     def _build(self):
-        def encode(feats, lens):
-            return self.model.apply(self.variables, feats, lens, method=ASRModel.encode)
+        # model/LM params enter the jitted graphs as ARGUMENTS — closing
+        # over them would bake 100M+ weights into the HLO as constants
+        # (breaks remote-compile payload limits and bloats the cache).
+        def encode(variables, feats, lens):
+            return self.model.apply(variables, feats, lens, method=ASRModel.encode)
 
-        self._encode = jax.jit(encode)
+        self._encode_jit = jax.jit(encode)
 
-        def decode(feats, lens, beam_size, length_norm, lm_weight):
+        def decode(variables, lm_variables, feats, lens, beam_size, length_norm, lm_weight):
             from ..models.transformer import make_kv_cache
 
-            enc = encode(feats, lens)
+            enc = encode(variables, feats, lens)
             ctc_logits = self.model.apply(
-                self.variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
+                variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
             )
             p_ctc = jax.nn.log_softmax(ctc_logits, -1)
             k = beam_size
@@ -96,7 +99,7 @@ class ASRBundle:
             att_cached = (
                 lambda n, u_max: make_kv_cache(n, u_max, m.num_decoder_layers, m.nhead, d_head),
                 lambda state, prev_tok, step: self.model.apply(
-                    self.variables, prev_tok, enc_k, state, step, lens_k,
+                    variables, prev_tok, enc_k, state, step, lens_k,
                     method=ASRModel.decode_step_cached,
                 ),
             )
@@ -108,7 +111,7 @@ class ASRBundle:
                         n, u_max, self.lm.num_layers, self.lm.nhead, lm_d_head
                     ),
                     lambda state, prev_tok, step: self.lm.apply(
-                        self.lm_variables, prev_tok, state, step,
+                        lm_variables, prev_tok, state, step,
                         method=TransformerLM.decode_step,
                     ),
                 )
@@ -124,13 +127,24 @@ class ASRBundle:
                 temperature_lm=float(self.hparams.get("temperature_lm", 1.15)),
                 length_normalization=length_norm,
             )
+            max_steps = self.hparams.get("max_decode_steps")
             return beam_search(
-                None, enc, lens, p_ctc, cfg, att_cached=att_cached, lm_cached=lm_cached
+                None, enc, lens, p_ctc, cfg,
+                max_steps=int(max_steps) if max_steps else None,
+                att_cached=att_cached, lm_cached=lm_cached,
             )
 
         beam = int(self.hparams.get("test_beam_size", 66))
         lm_w = float(self.hparams.get("lm_weight", 0.6)) if self.lm is not None else 0.0
-        self._decode_test = jax.jit(lambda f, l: decode(f, l, beam, True, lm_w))
+        self._decode_jit = jax.jit(
+            lambda v, lmv, f, l: decode(v, lmv, f, l, beam, True, lm_w)
+        )
+
+    def _encode(self, feats, lens):
+        return self._encode_jit(self.variables, feats, lens)
+
+    def _decode_test(self, feats, lens):
+        return self._decode_jit(self.variables, self.lm_variables or {}, feats, lens)
 
     # -- anonymizer eval hooks ------------------------------------------------------
 

@@ -50,6 +50,9 @@ def main(argv=None):
 
     config_path, run_opts, overrides = parse_arguments(argv if argv is not None else sys.argv[1:])
     hparams = load_config(config_path, overrides)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     create_experiment_directory(hparams["output_folder"], config_path, overrides)
     run_on_main(
         prepare_librispeech,
