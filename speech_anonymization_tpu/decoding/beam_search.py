@@ -30,9 +30,10 @@ import jax.numpy as jnp
 
 from .ctc_prefix import (
     CTCPrefixState,
-    ctc_advance_state,
+    ctc_advance_state_prepared,
     ctc_init_state,
-    ctc_score_candidates,
+    ctc_prepare,
+    ctc_score_candidates_prepared,
     mask_ctc_log_probs,
 )
 
@@ -89,10 +90,10 @@ def beam_search(
     if use_ctc:
         v = ctc_log_probs.shape[-1]
         x_ctc = mask_ctc_log_probs(ctc_log_probs, enc_lens, cfg.blank_index)
-        x_ctc = jnp.repeat(x_ctc, k, axis=0)  # (B*K, T, V)
-        ctc_state = ctc_init_state(x_ctc, cfg.blank_index)
+        prep = ctc_prepare(x_ctc, cfg.blank_index, k=k)  # x stays (B, T, V)
+        ctc_state = ctc_init_state(x_ctc, cfg.blank_index, k=k)
     else:
-        x_ctc = None
+        prep = None
         ctc_state = None
 
     tokens = jnp.full((b, k, u_max), cfg.blank_index, jnp.int32)
@@ -136,7 +137,9 @@ def beam_search(
         additive = unflatten(scores_step)  # (B, K, V)
         total = acc[:, :, None] + additive
         if use_ctc:
-            psi = unflatten(ctc_score_candidates(x_ctc, ctc_state, cfg.eos_index, cfg.blank_index))
+            psi = unflatten(
+                ctc_score_candidates_prepared(prep, ctc_state, cfg.eos_index, cfg.blank_index)
+            )
             total = total + cfg.ctc_weight * psi
 
         # finished pool update from the eos column
@@ -180,7 +183,9 @@ def beam_search(
                 last_token=ctc_state.last_token[flat_parent],
                 prefix_empty=ctc_state.prefix_empty[flat_parent],
             )
-            new_ctc = ctc_advance_state(x_ctc, gathered, token.reshape(-1), cfg.blank_index)
+            new_ctc = ctc_advance_state_prepared(
+                prep, gathered, token.reshape(-1), cfg.blank_index
+            )
         else:
             new_ctc = ctc_state
         # reorder decoder caches to the new beam order

@@ -10,13 +10,24 @@ candidate extension c, the prefix probability
 
 with the usual blank/non-blank forward variables r_b, r_nb.
 
-TPU design (all static shapes, lax.scan over frames):
-  * scoring all V candidates carries only (N, V) accumulators through the
-    frame scan — no (N, V, T) tensor is ever materialized;
-  * the per-prefix forward variables r (N, T, 2) are recomputed ONLY for
-    the selected extensions after top-k (O(T*K) instead of O(T*V*K) memory);
-  * padding frames are neutralized by giving them blank log-prob 0 and
-    -inf elsewhere, which leaves every recursion invariant.
+TPU design — both per-step computations are PARALLEL over frames (no
+sequential frame scan; a naive scan costs ~T sequential micro-kernels per
+decode step and dominates decode latency):
+
+  * scoring all V candidates: since x are log-probs (exp(x) <= 1),
+    psi = log( exp(phi_shift - max) @ exp(x) ) + max — ONE batched matmul
+    on the MXU against a cached exp(x) (N, T, V); the c == last(g) column
+    and the eos column are patched with cheap vector reductions;
+  * advancing the forward variables for the selected tokens: the coupled
+    recursions
+        p_nb[t] = (p_nb[t-1] + q[t-1]) * w[t]
+        p_b[t]  = (p_b[t-1] + p_nb[t-1]) * blank[t]
+    are a 2-d linear recurrence; in the log semiring they compose as 3x3
+    homogeneous matrices, solved with jax.lax.associative_scan in
+    O(log T) sequential stages.
+
+Padding frames are neutralized by giving them blank log-prob 0 and -inf
+elsewhere, which leaves every recursion invariant.
 """
 
 from __future__ import annotations
@@ -36,6 +47,13 @@ class CTCPrefixState(NamedTuple):
     prefix_empty: jax.Array  # (N,) bool
 
 
+class PreparedCTC(NamedTuple):
+    x: jax.Array        # (B, T, V) masked log-probs (shared by all beams)
+    exp_x: jax.Array    # (B, T, V) = exp(x)
+    blank_lp: jax.Array  # (B, T)
+    k: int = 1          # beams per batch item; states have N = B*k rows
+
+
 def mask_ctc_log_probs(x: jax.Array, enc_lens: jax.Array, blank: int = 0) -> jax.Array:
     """Neutralize padding frames: blank -> 0 logp, others -> -inf."""
     n, t, v = x.shape
@@ -44,10 +62,23 @@ def mask_ctc_log_probs(x: jax.Array, enc_lens: jax.Array, blank: int = 0) -> jax
     return jnp.where(valid[:, :, None], x, pad_row[None, None, :])
 
 
-def ctc_init_state(x: jax.Array, blank: int = 0) -> CTCPrefixState:
-    """State for the empty prefix: r_b = cumulative blank, r_nb = -inf."""
-    n, t, v = x.shape
-    r_b = jnp.cumsum(x[:, :, blank], axis=1)
+def ctc_prepare(x: jax.Array, blank: int = 0, k: int = 1) -> PreparedCTC:
+    """Cache exp(x) once per decode (x fixed across decode steps).
+
+    ``x`` is (B, T, V); with ``k`` beams the prefix states carry N = B*k
+    rows while x/exp_x stay un-replicated (beams of an item share its x).
+    """
+    return PreparedCTC(x=x, exp_x=jnp.exp(x), blank_lp=x[:, :, blank], k=k)
+
+
+def ctc_init_state(x: jax.Array, blank: int = 0, k: int = 1) -> CTCPrefixState:
+    """State for the empty prefix: r_b = cumulative blank, r_nb = -inf.
+
+    With ``k`` beams per item the state rows are ordered beam-major per
+    item: row n = item (n // k), matching jnp.repeat(x, k, 0)."""
+    b, t, v = x.shape
+    r_b = jnp.repeat(jnp.cumsum(x[:, :, blank], axis=1), k, axis=0)
+    n = b * k
     r_nb = jnp.full((n, t), NEG_INF)
     return CTCPrefixState(
         r_nb=r_nb,
@@ -61,79 +92,121 @@ def _logaddexp(a, b):
     return jnp.logaddexp(a, b)
 
 
-def ctc_score_candidates(
-    x: jax.Array, state: CTCPrefixState, eos_index: int, blank: int = 0
+def _phi_shift(values: jax.Array, init: jax.Array) -> jax.Array:
+    """[init, values[0], ..., values[T-2]] along the frame axis."""
+    return jnp.concatenate([init[:, None], values[:, :-1]], axis=1)
+
+
+def _gather_x_per_beam(x: jax.Array, tokens: jax.Array, k: int) -> jax.Array:
+    """x (B, T, V), tokens (N=B*k,) -> (N, T) columns of x per beam."""
+    b, t, v = x.shape
+    tok_bk = tokens.reshape(b, k)                               # (B, K)
+    cols = jnp.take_along_axis(x, tok_bk[:, None, :], axis=2)   # (B, T, K)
+    return jnp.moveaxis(cols, 2, 1).reshape(b * k, t)
+
+
+def ctc_score_candidates_prepared(
+    prep: PreparedCTC, state: CTCPrefixState, eos_index: int, blank: int = 0
 ) -> jax.Array:
-    """psi (N, V): prefix score for every candidate extension.
-
-    The eos column is overwritten with the COMPLETE-sequence score
-    logaddexp(r_nb, r_b) at the final frame (padding-invariant).
-    """
-    n, t, v = x.shape
-    phi = _logaddexp(state.r_nb, state.r_b)  # (N, T)
-
-    # phi with the last-token correction is column-dependent only for
-    # c == last_token; handle via a per-frame pair (phi, r_b) and a select.
-    last = state.last_token
+    """psi (N, V) via one MXU matmul + column patches (see module doc)."""
+    b, t, v = prep.x.shape
+    k = prep.k
+    n = b * k
     init_prev = jnp.where(state.prefix_empty, 0.0, NEG_INF)  # phi(-1)
+    phi = _logaddexp(state.r_nb, state.r_b)                  # (N, T)
+    a = _phi_shift(phi, init_prev)                           # (N, T)
 
-    token_ids = jnp.arange(v)[None, :]  # (1, V)
-    is_last = token_ids == last[:, None]  # (N, V)
+    amax = jnp.max(a, axis=1, keepdims=True)                 # (N, 1)
+    # guard fully -inf rows (empty prefixes have a[0]=0 so max >= 0 there)
+    amax_safe = jnp.maximum(amax, NEG_INF / 2)
+    exp_a = jnp.where(a > NEG_INF / 2, jnp.exp(a - amax_safe), 0.0)
+    dots = jnp.einsum(
+        "bkt,btv->bkv", exp_a.reshape(b, k, t), prep.exp_x,
+        preferred_element_type=jnp.float32,
+    ).reshape(n, v)
+    psi = jnp.where(dots > 0, jnp.log(jnp.maximum(dots, 1e-38)) + amax_safe, NEG_INF)
 
-    def step(carry, frame):
-        psi, phi_prev, rb_prev = carry
-        x_t = frame["x"]        # (N, V)
-        phi_t = frame["phi"]    # (N,)
-        rb_t = frame["r_b"]     # (N,)
-        phi_col = jnp.where(is_last, rb_prev[:, None], phi_prev[:, None])  # (N, V)
-        psi = _logaddexp(psi, phi_col + x_t)
-        return (psi, phi_t, rb_t), None
+    # c == last(g): phi column uses r_b instead of phi
+    last = state.last_token
+    a_last = _phi_shift(state.r_b, jnp.full((n,), NEG_INF))  # (N, T)
+    x_last = _gather_x_per_beam(prep.x, jnp.maximum(last, 0), k)  # (N, T)
+    psi_last = jax.nn.logsumexp(a_last + x_last, axis=1)
+    has_last = last >= 0
+    token_ids = jnp.arange(v)[None, :]
+    is_last = (token_ids == last[:, None]) & has_last[:, None]
+    psi = jnp.where(is_last, psi_last[:, None], psi)
 
-    frames = {
-        "x": jnp.moveaxis(x, 1, 0),          # (T, N, V)
-        "phi": jnp.moveaxis(phi, 1, 0),      # (T, N)
-        "r_b": jnp.moveaxis(state.r_b, 1, 0),
-    }
-    psi0 = jnp.full((n, v), NEG_INF)
-    rb_init = jnp.full((n,), NEG_INF)  # r_b(-1)
-    (psi, _, _), _ = jax.lax.scan(step, (psi0, init_prev, rb_init), frames)
     # eos: full-sequence score (final frame; padding frames keep it constant)
     full = _logaddexp(state.r_nb[:, -1], state.r_b[:, -1])
     psi = psi.at[:, eos_index].set(full)
     return psi
 
 
-def ctc_advance_state(
-    x: jax.Array, state: CTCPrefixState, chosen: jax.Array, blank: int = 0
+def ctc_score_candidates(
+    x: jax.Array, state: CTCPrefixState, eos_index: int, blank: int = 0
+) -> jax.Array:
+    """Convenience wrapper computing exp(x) on the fly (tests / one-shot)."""
+    return ctc_score_candidates_prepared(ctc_prepare(x, blank), state, eos_index, blank)
+
+
+def _logmatmul3(m2: jax.Array, m1: jax.Array) -> jax.Array:
+    """(..., 3, 3) log-semiring matrix product: out_ij = LSE_k(m2_ik + m1_kj)."""
+    return jax.nn.logsumexp(m2[..., :, :, None] + m1[..., None, :, :], axis=-2)
+
+
+def ctc_advance_state_prepared(
+    prep: PreparedCTC, state: CTCPrefixState, chosen: jax.Array, blank: int = 0
 ) -> CTCPrefixState:
-    """Recompute forward variables for the selected extension tokens.
+    """Child forward variables via an O(log T) associative scan.
 
-    x: (N, T, V); state: parent prefix state (already gathered to the new
-    beam order); chosen: (N,) selected token ids. Returns the child state.
+    Per frame, with w[t]=x[t,c], bl[t]=x[t,blank], q[t]=phi_col(parent):
+        l_nb[t] = w[t] + LSE(l_nb[t-1], q[t-1])
+        l_b[t]  = bl[t] + LSE(l_nb[t-1], l_b[t-1])
+    As homogeneous 3x3 log-matrices over s=[l_nb, l_b, 0]:
+        M[t] = [[w,  -inf, w + q[t-1]],
+                [bl,  bl,  -inf     ],
+                [-inf,-inf, 0       ]]
+    The prefix products P[t] (associative_scan) give s[t] = P[t][:, :, 2].
     """
-    n, t, v = x.shape
-    x_sel = jnp.take_along_axis(x, chosen[:, None, None], axis=2)[:, :, 0]  # (N, T)
-    blank_lp = x[:, :, blank]
+    b, t, v = prep.x.shape
+    k = prep.k
+    n = b * k
+    x_sel = _gather_x_per_beam(prep.x, chosen, k)  # (N, T)
+    blank_lp = jnp.repeat(prep.blank_lp, k, axis=0)  # (N, T)
     phi = _logaddexp(state.r_nb, state.r_b)
-    phi = jnp.where((chosen == state.last_token)[:, None], state.r_b, phi)  # (N, T)
+    phi = jnp.where((chosen == state.last_token)[:, None], state.r_b, phi)
     init_prev = jnp.where(state.prefix_empty, 0.0, NEG_INF)
+    q_shift = _phi_shift(phi, init_prev)  # (N, T) = q[t-1]
 
-    def step(carry, frame):
-        r_nb_prev, r_b_prev, phi_prev = carry
-        r_nb_t = _logaddexp(r_nb_prev, phi_prev) + frame["x_sel"]
-        r_b_t = _logaddexp(r_b_prev, r_nb_prev) + frame["blank"]
-        return (r_nb_t, r_b_t, frame["phi"]), (r_nb_t, r_b_t)
-
-    frames = {
-        "x_sel": jnp.moveaxis(x_sel, 1, 0),
-        "blank": jnp.moveaxis(blank_lp, 1, 0),
-        "phi": jnp.moveaxis(phi, 1, 0),
-    }
-    neg = jnp.full((n,), NEG_INF)
-    (_, _, _), (r_nb, r_b) = jax.lax.scan(step, (neg, neg, init_prev), frames)
+    neg = jnp.full((n, t), NEG_INF)
+    zero = jnp.zeros((n, t))
+    # rows of M[t], shape (N, T, 3, 3)
+    m = jnp.stack(
+        [
+            jnp.stack([x_sel, neg, x_sel + q_shift], axis=-1),
+            jnp.stack([blank_lp, blank_lp, neg], axis=-1),
+            jnp.stack([neg, neg, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    # s[t] = M[t] (x) s[t-1] => prefix product P[t] = M[t] ∘ ... ∘ M[0]
+    # (newest on the LEFT); associative_scan combines (earlier, later), so
+    # the operator must multiply the later element on the left.
+    prefix = jax.lax.associative_scan(
+        lambda a, b: _logmatmul3(b, a), m, axis=1
+    )  # (N, T, 3, 3)
+    r_nb = prefix[:, :, 0, 2]
+    r_b = prefix[:, :, 1, 2]
     return CTCPrefixState(
-        r_nb=jnp.moveaxis(r_nb, 0, 1),
-        r_b=jnp.moveaxis(r_b, 0, 1),
+        r_nb=r_nb,
+        r_b=r_b,
         last_token=chosen.astype(jnp.int32),
         prefix_empty=jnp.zeros((n,), bool),
     )
+
+
+def ctc_advance_state(
+    x: jax.Array, state: CTCPrefixState, chosen: jax.Array, blank: int = 0
+) -> CTCPrefixState:
+    """Convenience wrapper (tests / one-shot)."""
+    return ctc_advance_state_prepared(ctc_prepare(x, blank), state, chosen, blank)

@@ -94,9 +94,15 @@ class ASRModel(nn.Module):
         p_ctc, p_seq = self.heads(enc_out, dec_out)
         return enc_out, dec_out, p_ctc, p_seq
 
-    def decode_step_cached(self, token, enc_out, cache, step, wav_lens=None):
+    def cross_kv(self, enc_out):
+        """Precompute per-layer cross-attention K/V once per decode."""
+        return self.transformer.cross_kv(enc_out)
+
+    def decode_step_cached(self, token, enc_out, cache, step, wav_lens=None, cross_kv=None):
         """KV-cached single-step decode: (B,) token -> ((B, V) logits, cache)."""
-        hidden, new_cache = self.transformer.decode_step(token, enc_out, cache, step, wav_lens)
+        hidden, new_cache = self.transformer.decode_step(
+            token, enc_out, cache, step, wav_lens, cross_kv
+        )
         return self.heads.seq_logits(hidden), new_cache
 
     def decode_one_step(self, tokens_prefix, enc_out, wav_lens=None, step=None):

@@ -85,7 +85,27 @@ class MultiHeadAttention(nn.Module):
     nhead: int
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        d_head = self.d_model // self.nhead
+        self.q_proj = nn.DenseGeneral((self.nhead, d_head), name="q")
+        self.k_proj = nn.DenseGeneral((self.nhead, d_head), name="k")
+        self.v_proj = nn.DenseGeneral((self.nhead, d_head), name="v")
+        self.out_proj = nn.DenseGeneral(self.d_model, axis=(-2, -1), name="out")
+
+    def kv(self, x):
+        """Precompute key/value heads (cross-attention memory caching)."""
+        return self.k_proj(x), self.v_proj(x)
+
+    def attend_kv(self, q, kh, vh, mask=None):
+        """Attention with PRECOMPUTED key/value heads."""
+        d_head = self.d_model // self.nhead
+        scores = jnp.einsum("bqhd,bkhd->bhqk", self.q_proj(q), kh) / math.sqrt(d_head)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
+        return self.out_proj(out)
+
     def __call__(self, q, kv, mask=None, train: bool = False, cache=None, cache_index=None):
         """Full attention, or single-step cached decoding.
 
@@ -95,10 +115,9 @@ class MultiHeadAttention(nn.Module):
         buffer prefix. Returns (out, new_cache) in cached mode.
         """
         d_head = self.d_model // self.nhead
-        dense = lambda name: nn.DenseGeneral((self.nhead, d_head), name=name)
-        qh = dense("q")(q)
-        kh = dense("k")(kv)
-        vh = dense("v")(kv)
+        qh = self.q_proj(q)
+        kh = self.k_proj(kv)
+        vh = self.v_proj(kv)
         if cache is not None:
             k_buf = jax.lax.dynamic_update_slice_in_dim(cache["k"], kh, cache_index, axis=1)
             v_buf = jax.lax.dynamic_update_slice_in_dim(cache["v"], vh, cache_index, axis=1)
@@ -110,8 +129,7 @@ class MultiHeadAttention(nn.Module):
                 scores = jnp.where(mask, scores, NEG_INF)
             weights = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_buf)
-            out = nn.DenseGeneral(self.d_model, axis=(-2, -1), name="out")(out)
-            return out, {"k": k_buf, "v": v_buf}
+            return self.out_proj(out), {"k": k_buf, "v": v_buf}
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
@@ -119,7 +137,7 @@ class MultiHeadAttention(nn.Module):
         if self.dropout > 0 and train:
             weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
-        return nn.DenseGeneral(self.d_model, axis=(-2, -1), name="out")(out)
+        return self.out_proj(out)
 
 
 class FeedForward(nn.Module):
@@ -169,25 +187,36 @@ class DecoderLayer(nn.Module):
     d_ffn: int
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout)
+        self.cross_attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout)
+        self.ln1 = nn.LayerNorm()
+        self.ln2 = nn.LayerNorm()
+        self.ln3 = nn.LayerNorm()
+        self.ff = FeedForward(self.d_model, self.d_ffn, self.dropout)
+
+    def cross_kv(self, memory):
+        """Precompute the cross-attention K/V heads of the encoder memory —
+        computed ONCE per decode instead of at every step (dominant cost of
+        naive incremental decoding)."""
+        return self.cross_attn.kv(memory)
+
     def __call__(self, x, memory, self_mask=None, cross_mask=None, train: bool = False,
-                 cache=None, cache_index=None):
+                 cache=None, cache_index=None, cross_kv=None):
         if cache is not None:
-            attn, new_cache = MultiHeadAttention(
-                self.d_model, self.nhead, self.dropout, name="self_attn"
-            )(x, x, self_mask, train, cache=cache, cache_index=cache_index)
-        else:
-            attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")(
-                x, x, self_mask, train
+            attn, new_cache = self.self_attn(
+                x, x, self_mask, train, cache=cache, cache_index=cache_index
             )
+        else:
+            attn = self.self_attn(x, x, self_mask, train)
             new_cache = None
-        x = nn.LayerNorm()(x + attn)
-        cross = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="cross_attn")(
-            x, memory, cross_mask, train
-        )
-        x = nn.LayerNorm()(x + cross)
-        ff = FeedForward(self.d_model, self.d_ffn, self.dropout)(x, train)
-        out = nn.LayerNorm()(x + ff)
+        x = self.ln1(x + attn)
+        if cross_kv is not None:
+            cross = self.cross_attn.attend_kv(x, cross_kv[0], cross_kv[1], cross_mask)
+        else:
+            cross = self.cross_attn(x, memory, cross_mask, train)
+        x = self.ln2(x + cross)
+        out = self.ln3(x + self.ff(x, train))
         if cache is not None:
             return out, new_cache
         return out
@@ -267,13 +296,18 @@ class TransformerASR(nn.Module):
             for _ in range(self.num_decoder_layers)
         ]
 
-    def decode_step(self, token, memory, cache, step, src_lengths=None):
+    def cross_kv(self, memory):
+        """Per-layer precomputed cross-attention K/V of the encoder memory."""
+        return [layer.cross_kv(memory) for layer in self.decoder_layers]
+
+    def decode_step(self, token, memory, cache, step, src_lengths=None, cross_kv=None):
         """One decoder step with KV cache.
 
         token: (B,) int32 token at position ``step``; cache: dict from
-        :func:`make_kv_cache`; returns (hidden (B, D), new_cache).
-        O(U) per step instead of the O(U^2) full-prefix recompute; key
-        masking matches the full path (causal + pad keys excluded).
+        :func:`make_kv_cache`; ``cross_kv``: optional per-layer precomputed
+        memory K/V (from :meth:`cross_kv` — avoids reprojecting the memory
+        every step). Returns (hidden (B, D), new_cache). O(U) per step;
+        key masking matches the full path (causal + pad keys excluded).
         """
         b = token.shape[0]
         t = memory.shape[1]
@@ -287,9 +321,11 @@ class TransformerASR(nn.Module):
         if src_lengths is not None:
             cross_mask = lengths_to_padding_mask(src_lengths, t)[:, None, None, :]
         new_layers = []
-        for layer, layer_cache in zip(self.decoder_layers, cache["layers"]):
+        for i, (layer, layer_cache) in enumerate(zip(self.decoder_layers, cache["layers"])):
             x, c = layer(
-                x, memory, self_mask, cross_mask, False, cache=layer_cache, cache_index=step
+                x, memory, self_mask, cross_mask, False,
+                cache=layer_cache, cache_index=step,
+                cross_kv=cross_kv[i] if cross_kv is not None else None,
             )
             new_layers.append(c)
         return x[:, 0], {"layers": new_layers, "tokens": tok_buf}

@@ -95,11 +95,13 @@ class ASRBundle:
             lens_k = jnp.repeat(lens, k, axis=0)
             m = self.model
             d_head = m.d_model // m.nhead
+            # cross-attention memory K/V projected ONCE per decode
+            cross = self.model.apply(variables, enc_k, method=ASRModel.cross_kv)
 
             att_cached = (
                 lambda n, u_max: make_kv_cache(n, u_max, m.num_decoder_layers, m.nhead, d_head),
                 lambda state, prev_tok, step: self.model.apply(
-                    variables, prev_tok, enc_k, state, step, lens_k,
+                    variables, prev_tok, enc_k, state, step, lens_k, cross,
                     method=ASRModel.decode_step_cached,
                 ),
             )

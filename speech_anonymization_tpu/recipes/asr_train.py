@@ -179,12 +179,13 @@ class ASRBrain(Brain):
             enc_k = jnp.repeat(enc, beam_size, axis=0)
             lens_k = jnp.repeat(lens, beam_size, axis=0)
             m = self.model
+            cross = self.model.apply(variables, enc_k, method=ASRModel.cross_kv)
             att_cached = (
                 lambda n, u_max: make_kv_cache(
                     n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead
                 ),
                 lambda state, prev_tok, step: self.model.apply(
-                    variables, prev_tok, enc_k, state, step, lens_k,
+                    variables, prev_tok, enc_k, state, step, lens_k, cross,
                     method=ASRModel.decode_step_cached,
                 ),
             )
