@@ -49,7 +49,7 @@ def _register_builtins():
     import math
 
     from .. import losses as L
-    from ..ops.augment import EnvCorrupt, TimeDomainSpecAugment
+    from ..ops.augment import EnvCorrupt, TimeDomainSpecAugment, speed_perturb
     from ..ops.specaugment import SpecAugment
     from ..ops.fbank import Fbank, FbankConfig
     from ..ops.normalization import InputNormalizer
@@ -78,6 +78,11 @@ def _register_builtins():
         "EnvCorrupt": EnvCorrupt,
         "TimeDomainSpecAugment": TimeDomainSpecAugment,
         "SpecAugment": SpecAugment,
+        # standalone speed perturbation (convae.yaml:285-287); a factory so
+        # configs can bind speeds, callable as f(key, wavs, lens)
+        "SpeedPerturb": lambda sample_rate=16000, speeds=(95, 100, 105): (
+            lambda key, wavs, lens: speed_perturb(key, wavs, lens, tuple(speeds))
+        ),
         "NoamScheduler": NoamScheduler,
         "ReduceLROnPlateau": ReduceLROnPlateau,
         "EpochCounter": EpochCounter,
