@@ -115,7 +115,8 @@ def beam_search(
         return x.reshape((b, k) + x.shape[1:])
 
     def step_fn(carry, step):
-        tokens, acc, ctc_state, fin_score, fin_tokens, fin_len, att_state, lm_state = carry
+        (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len,
+         best_total, att_state, lm_state) = carry
         flat_tokens = flatten(tokens)  # (B*K, U_max)
         prev_token = flat_tokens[jnp.arange(b * k), step]  # last committed
 
@@ -145,7 +146,9 @@ def beam_search(
         # finished pool update from the eos column
         eos_total = total[:, :, cfg.eos_index]  # (B, K)
         hyp_len = step  # tokens emitted before eos
-        norm = jnp.maximum(hyp_len, 1).astype(jnp.float32) if cfg.length_normalization else 1.0
+        # reference norm: S2SBeamSearcher divides by (t + 1) — the token
+        # count including the current (eos) step — not max(t, 1).
+        norm = (step + 1).astype(jnp.float32) if cfg.length_normalization else 1.0
         eos_scores = eos_total / norm
         allow_eos = step >= cfg.min_decode_steps
         eos_scores = jnp.where(allow_eos, eos_scores, NEG_INF)
@@ -166,6 +169,9 @@ def beam_search(
         top_val, top_idx = jax.lax.top_k(flat, k)  # (B, K)
         parent = top_idx // v
         token = (top_idx % v).astype(jnp.int32)
+        # full score (att+lm+ctc_weight*psi) of the best alive beam — used
+        # by the nothing-finished fallback; acc alone omits the CTC term.
+        best_total = top_val[:, 0]
 
         new_tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
         new_tokens = new_tokens.at[:, :, step + 1].set(token)
@@ -194,18 +200,23 @@ def beam_search(
         lm_state = reorder(lm_state) if lm_cached is not None else lm_state
 
         return (
-            new_tokens, new_acc, new_ctc, fin_score, fin_tokens, fin_len, att_state, lm_state
+            new_tokens, new_acc, new_ctc, fin_score, fin_tokens, fin_len,
+            best_total, att_state, lm_state
         ), None
 
-    carry = (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len, att_state0, lm_state0)
+    best_total0 = jnp.full((b,), NEG_INF)
+    carry = (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len,
+             best_total0, att_state0, lm_state0)
     carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_steps))
-    tokens, acc, _, fin_score, fin_tokens, fin_len = carry[:6]
+    tokens, acc, _, fin_score, fin_tokens, fin_len, best_total = carry[:7]
 
-    # fall back to best alive when nothing finished
+    # fall back to best alive when nothing finished — score uses the last
+    # step's FULL total (incl. CTC) normalized by (max_steps + 1), matching
+    # the reference's forced-eos fill at timestep max_decode_steps.
     norm = (
-        jnp.full((b,), float(max_steps)) if cfg.length_normalization else jnp.ones((b,))
+        jnp.full((b,), float(max_steps + 1)) if cfg.length_normalization else jnp.ones((b,))
     )
-    best_alive_score = acc[:, 0] / norm
+    best_alive_score = best_total / norm
     none_finished = fin_score <= NEG_INF / 2
     out_tokens = jnp.where(none_finished[:, None], tokens[:, 0], fin_tokens)
     out_len = jnp.where(none_finished, max_steps, fin_len)

@@ -139,6 +139,12 @@ def ctc_score_candidates_prepared(
     # eos: full-sequence score (final frame; padding frames keep it constant)
     full = _logaddexp(state.r_nb[:, -1], state.r_b[:, -1])
     psi = psi.at[:, eos_index].set(full)
+    # block blank for joint scoring: the reference scorer masks the blank
+    # column before fusing with attention/LM scores (SpeechBrain 0.5
+    # CTCPrefixScorer / seq2seq "block blank token"); blank dominates CTC
+    # posteriors and would otherwise be emitted into hypotheses.
+    if blank != eos_index:
+        psi = psi.at[:, blank].set(NEG_INF)
     return psi
 
 
