@@ -325,13 +325,49 @@ def _loaders(hparams, train_data, valid_data, test_data):
     return mk(train_data, True), mk(valid_data, False), mk(test_data, False)
 
 
+def _is_torch_ckpt(path: str) -> bool:
+    """Reference checkpoints are torch zip archives (magic 'PK\\x03\\x04');
+    ours are flax msgpack."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == b"PK\x03\x04"
+    except OSError:
+        return False
+
+
 def load_recon_model(ckpt_dir: str, model_type: str = "fcae", n_mels: int = 80):
     """Load a frozen anonymizer (module, variables) from an anonymizer-recipe
-    checkpoint directory for the recon-retrain variant."""
+    checkpoint directory for the recon-retrain variant.
+
+    Also accepts the REFERENCE's shipped checkpoint layout (a ``save/`` dir
+    of ``CKPT+*`` subdirs, or one such subdir, holding a torch ``model.ckpt``
+    — gender_classifier_recon.yaml's ``trained_recon_model_path``), ported
+    via utils/reference_ckpts.py so users can reuse the original trained
+    FC-AE anonymizers directly."""
     import jax as _jax
 
     from ..train.checkpoint import Checkpointer as _Ckptr, PytreeRecoverable as _PR
     from .anonymizer import MODEL_TYPES, _pad_time_to_multiple
+
+    direct = os.path.join(ckpt_dir, "model.ckpt")
+    if model_type == "fcae":
+        ref_model = None
+        if _is_torch_ckpt(direct):
+            ref_model = direct
+        else:
+            from ..utils.reference_ckpts import find_best_ckpt_dir
+
+            try:
+                cand = os.path.join(find_best_ckpt_dir(ckpt_dir), "model.ckpt")
+                if _is_torch_ckpt(cand):
+                    ref_model = cand
+            except FileNotFoundError:
+                pass
+        if ref_model is not None:
+            from ..utils.reference_ckpts import load_reference_fcae
+
+            module, variables, _ = load_reference_fcae(ref_model)
+            return module, variables
 
     module = MODEL_TYPES[model_type]()
     rng = _jax.random.PRNGKey(0)
