@@ -184,9 +184,41 @@ class ASRBundle:
         return wer
 
 
+def load_lm(hparams) -> tuple[TransformerLM, dict] | None:
+    """Load a shallow-fusion LM from an lm_train recipe checkpoint dir
+    (``lm_checkpoint_dir``). The reference fetched a pretrained lm.ckpt via
+    Pretrainer (convae.yaml:306-317) and fused it at lm_weight 0.6
+    (convae.yaml:226-240); recipes/lm_train.py produces the equivalent
+    checkpoint here. Returns (model, variables) or None when unset."""
+    lm_dir = hparams.get("lm_checkpoint_dir")
+    if not lm_dir or not os.path.isdir(lm_dir):
+        return None
+    from ..train.checkpoint import Checkpointer, PytreeRecoverable
+
+    lm = TransformerLM(
+        vocab=int(hparams.get("output_neurons", 5000)),
+        d_model=int(hparams.get("lm_d_model", 768)),
+        nhead=int(hparams.get("lm_nhead", 12)),
+        num_layers=int(hparams.get("lm_num_layers", 12)),
+        d_ffn=int(hparams.get("lm_d_ffn", 3072)),
+    )
+    variables = lm.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    holder = {"params": variables["params"]}
+    ckptr = Checkpointer(
+        lm_dir,
+        {"model": PytreeRecoverable(lambda: holder["params"], lambda p: holder.__setitem__("params", p))},
+    )
+    if ckptr.recover_if_possible(min_key="loss") is None:
+        raise FileNotFoundError(f"no LM checkpoint under {lm_dir}")
+    return lm, {"params": holder["params"]}
+
+
 def load_asr_bundle(hparams, tokenizer) -> ASRBundle | None:
     """Build the frozen bundle from an asr_train recipe checkpoint dir
-    (``asr_checkpoint_dir``), or return None when not configured."""
+    (``asr_checkpoint_dir``), or return None when not configured. When
+    ``lm_checkpoint_dir`` is also set, the LM is attached and test decoding
+    fuses it at ``lm_weight`` (reference: beam 66 + LM 0.6 + CTC 0.4,
+    speechbrain_configs/convae.yaml:226-240)."""
     ckpt_dir = hparams.get("asr_checkpoint_dir")
     if not ckpt_dir or not os.path.isdir(ckpt_dir):
         return None
@@ -215,4 +247,9 @@ def load_asr_bundle(hparams, tokenizer) -> ASRBundle | None:
         raise FileNotFoundError(f"no ASR checkpoint under {ckpt_dir}")
     new_vars = {"params": holder["params"], **{k: v for k, v in variables.items() if k != "params"}}
     utility_kind = hparams.get("utility_loss_kind", "mse")
-    return ASRBundle(model, new_vars, tokenizer, hparams, utility_kind=utility_kind)
+    lm_pair = load_lm(hparams)
+    lm, lm_variables = lm_pair if lm_pair is not None else (None, None)
+    return ASRBundle(
+        model, new_vars, tokenizer, hparams,
+        lm=lm, lm_variables=lm_variables, utility_kind=utility_kind,
+    )

@@ -8,7 +8,7 @@ import os
 import numpy as np
 import pytest
 
-from speech_anonymization_tpu.recipes import anonymizer, asr_train, gender_classifier
+from speech_anonymization_tpu.recipes import anonymizer, asr_train, gender_classifier, lm_train
 from tests.fixtures import make_fake_librispeech
 
 BASE = os.path.join(os.path.dirname(__file__), "..", "configs")
@@ -67,7 +67,25 @@ def test_full_chain(corpus, tmp_path_factory):
     ab = asr_train.main(asr_args)
     assert "WER" in ab.test_stats
 
-    # 3) anonymizer with evaluator + ASR attached (train 1 epoch + test)
+    # 2b) tiny shallow-fusion LM sharing the ASR tokenizer (reference test
+    # decode fuses LM 0.6 — convae.yaml:226-240)
+    lout = str(tmp_path_factory.mktemp("lm"))
+    lm_train.main(
+        [os.path.join(BASE, "lm.yaml")]
+        + _common(corpus, lout)
+        + [
+            "--test_csv", f'["{csv}"]',
+            "--tokenizer_path", os.path.join(aout, "save", "tokenizer.json"),
+            "--number_of_epochs", "2", "--batch_size", "8",
+            "--output_neurons", "64",
+            "--lm_d_model", "32", "--lm_nhead", "4", "--lm_num_layers", "2",
+            "--lm_d_ffn", "64", "--lm_token_buckets", "[16, 32]",
+            "--noam_annealing", "null", "--lm_warmup_steps", "6",
+            "--lr_adam", "1.0",
+        ]
+    )
+
+    # 3) anonymizer with evaluator + ASR + LM attached (train 1 epoch + test)
     nout = str(tmp_path_factory.mktemp("anon"))
     nb = anonymizer.main(
         [os.path.join(BASE, "convae.yaml")]
@@ -81,11 +99,16 @@ def test_full_chain(corpus, tmp_path_factory):
             "--evaluator_emb_dim", "32",
             "--asr_checkpoint_dir", os.path.join(aout, "save", "ckpts"),
             "--tokenizer_path", os.path.join(aout, "save", "tokenizer.json"),
+            "--lm_checkpoint_dir", os.path.join(lout, "save", "ckpts"),
+            "--lm_d_model", "32", "--lm_nhead", "4", "--lm_num_layers", "2",
+            "--lm_d_ffn", "64",
             "--d_model", "32", "--nhead", "4", "--num_encoder_layers", "1",
             "--num_decoder_layers", "1", "--d_ffn", "64", "--output_neurons", "64",
             "--test_beam_size", "2",
         ]
     )
+    # LM fusion actually wired into the decode path (lm_weight 0.6 live)
+    assert nb.asr_bundle is not None and nb.asr_bundle.lm is not None
     stats = nb.test_stats
     # all four reference metrics present and sane
     assert 0.0 <= stats["ACC"] <= 1.0
