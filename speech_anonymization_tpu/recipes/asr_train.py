@@ -81,6 +81,7 @@ class ASRBrain(Brain):
         )
         self.optimizer = self.adam
         self._rng = jax.random.PRNGKey(int(hparams.get("seed", 0)))
+        self._host_accum = 0  # host mirror of state.accum_count (no device sync)
         self.state: TrainState | None = None
         self._build_steps()
 
@@ -276,7 +277,10 @@ class ASRBrain(Brain):
 
     def fit_batch(self, batch, epoch):
         self.check_and_reset_optimizer(epoch)
-        will_step = (int(self.state.accum_count) + 1) >= self.grad_accum
+        # host mirror of accum_count — avoids a device->host sync per step
+        # (see anonymizer.fit_batch)
+        will_step = (self._host_accum + 1) >= self.grad_accum
+        self._host_accum = 0 if will_step else self._host_accum + 1
         lr = jnp.asarray(self.noam() if will_step else self.noam.current_lr, jnp.float32)
         if self._optimizer_name == "SGD":
             lr = jnp.asarray(self.lr_sgd, jnp.float32)

@@ -81,10 +81,20 @@ def test_convae_adversarial_schedule_runs(corpus, tmp_path_factory):
 
 def test_endtoend_model_runs(corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("out_e2e"))
-    brain = recipe.main(
-        _argv(corpus, out, model_type="endtoend", number_of_epochs=1)
-    )
+    with pytest.warns(UserWarning, match="chance-level CONSTANT"):
+        brain = recipe.main(
+            _argv(corpus, out, model_type="endtoend", number_of_epochs=1)
+            + ["--allow_endtoend_without_evaluator", "true"]
+        )
     assert np.isfinite(brain.test_stats["loss"])
+
+
+def test_endtoend_without_evaluator_refused(corpus, tmp_path_factory):
+    """VERDICT r1 weak #3: endtoend with no external classifier must not
+    silently train against a constant sex loss."""
+    out = str(tmp_path_factory.mktemp("out_e2e_refuse"))
+    with pytest.raises(ValueError, match="external classifier"):
+        recipe.main(_argv(corpus, out, model_type="endtoend", number_of_epochs=1))
 
 
 def test_eval_only_mode(corpus, tmp_path_factory):
