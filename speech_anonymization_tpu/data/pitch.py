@@ -3,9 +3,12 @@
 Replaces the reference's pyworld usage in the pitch-norm recipe
 (gender_classifier_train_pitch_norm.py:253-258): decompose, shift the
 voiced F0 contour so its mean hits ``target_f0`` (500 Hz there), and
-resynthesize. Backed by the native C++ world_lite (autocorrelation F0 +
-TD-PSOLA, native/world_lite.cc); a pure-numpy fallback implements the same
-algorithm when the native library is absent.
+resynthesize. Backed by the native C++ WORLD-class vocoder
+(native/world_vocoder.cc: CheapTrick-class pitch-adaptive spectral
+envelope + band aperiodicity + minimum-phase pitch-synchronous synthesis —
+the same decomposition as pw.wav2world/pw.synthesize); ``method="psola"``
+selects the lighter TD-PSOLA resynthesis (native/world_lite.cc), which is
+also the pure-numpy fallback when the native library is absent.
 """
 
 from __future__ import annotations
@@ -40,6 +43,40 @@ def _bind_pitch(lib):
             ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.satpu_world_pitch_normalize.restype = ctypes.c_longlong
+        lib.satpu_world_pitch_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
+        lib.satpu_world_fft_size.restype = ctypes.c_int
+        lib.satpu_world_fft_size.argtypes = [ctypes.c_int]
+        lib.satpu_world_analyze.restype = ctypes.c_longlong
+        lib.satpu_world_analyze.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.satpu_world_synthesize.restype = ctypes.c_longlong
+        lib.satpu_world_synthesize.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _PITCH_BOUND = True
 
 
@@ -64,14 +101,28 @@ def track_f0(wav: np.ndarray, sr: int = 16000):
     return _track_f0_numpy(x, sr)
 
 
-def pitch_normalize(wav: np.ndarray, sr: int = 16000, target_f0: float = 500.0) -> np.ndarray:
-    """Shift voiced F0 mean to target_f0, preserving the envelope."""
+def pitch_normalize(
+    wav: np.ndarray, sr: int = 16000, target_f0: float = 500.0,
+    method: str = "world",
+) -> np.ndarray:
+    """Shift voiced F0 mean to target_f0, preserving the envelope.
+
+    ``method="world"`` (default) runs the full WORLD-class vocoder
+    (analyze -> shift contour -> minimum-phase resynthesis, matching the
+    reference's pw.wav2world/pw.synthesize character, including re-rendered
+    unvoiced/aperiodic content); ``method="psola"`` uses the TD-PSOLA
+    grain resynthesis (unvoiced regions pass through unchanged).
+    """
     lib = _native_lib()
     x = np.ascontiguousarray(wav, np.float32)
     if lib:
         _bind_pitch(lib)
+        entry = (
+            lib.satpu_world_pitch_normalize if method == "world"
+            else lib.satpu_pitch_normalize
+        )
         out = ctypes.POINTER(ctypes.c_float)()
-        n = lib.satpu_pitch_normalize(
+        n = entry(
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(x),
             sr,
@@ -83,6 +134,66 @@ def pitch_normalize(wav: np.ndarray, sr: int = 16000, target_f0: float = 500.0) 
             lib.satpu_free(out)
             return res
     return _pitch_normalize_numpy(x, sr, target_f0)
+
+
+def world_analyze(wav: np.ndarray, sr: int = 16000):
+    """WORLD-class decomposition (native only): returns (f0, sp, ap, hop).
+
+    sp/ap are (n_frames, nfft/2+1): CheapTrick-class squared-harmonic-
+    amplitude envelope and per-band HNR aperiodicity in [0.001, 0.999].
+    Raises RuntimeError when the native library is unavailable.
+    """
+    lib = _native_lib()
+    if not lib:
+        raise RuntimeError("world_analyze requires the native library")
+    _bind_pitch(lib)
+    x = np.ascontiguousarray(wav, np.float32)
+    bins_guess = lib.satpu_world_fft_size(sr) // 2 + 1
+    max_frames = len(x) // max(int(sr * 0.005), 1) + 2
+    f0 = np.zeros(max_frames, np.float64)
+    sp = np.zeros((max_frames, bins_guess), np.float64)
+    ap = np.zeros((max_frames, bins_guess), np.float64)
+    hop = ctypes.c_int(0)
+    bins = ctypes.c_int(0)
+    m = lib.satpu_world_analyze(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x), sr,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ap.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        max_frames, ctypes.byref(hop), ctypes.byref(bins),
+    )
+    if m <= 0:
+        raise ValueError("audio too short for WORLD analysis")
+    assert bins.value == bins_guess
+    return f0[:m], sp[:m], ap[:m], hop.value
+
+
+def world_synthesize(
+    f0: np.ndarray, sp: np.ndarray, ap: np.ndarray, hop: int,
+    sr: int = 16000, n_out: int | None = None,
+) -> np.ndarray:
+    """Resynthesize from (possibly modified) WORLD parameters (native only)."""
+    lib = _native_lib()
+    if not lib:
+        raise RuntimeError("world_synthesize requires the native library")
+    _bind_pitch(lib)
+    f0 = np.ascontiguousarray(f0, np.float64)
+    sp = np.ascontiguousarray(sp, np.float64)
+    ap = np.ascontiguousarray(ap, np.float64)
+    if n_out is None:
+        n_out = (len(f0) - 1) * hop + int(sr * 0.005)
+    out = np.zeros(n_out, np.float32)
+    n = lib.satpu_world_synthesize(
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ap.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(f0), sp.shape[1], int(hop), sr, n_out,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n <= 0:
+        raise ValueError("world_synthesize failed (bad shapes?)")
+    return out
 
 
 # -- numpy fallback (same algorithm) -------------------------------------------
