@@ -16,6 +16,12 @@ API mirrors what the recipes consume: encode_as_ids / decode_ids, plus
 save/load of a plain-text model file. IDs 0..3 are reserved:
 0=<blank/pad/unk>, 1=<bos>, 2=<eos> matching convae.yaml:121-126
 (blank_index 0, bos 1, eos 2, unk 0).
+
+``load_sentencepiece`` additionally reads a real sentencepiece ``.model``
+protobuf (unigram pieces + scores) and adopts ITS id space verbatim —
+required when decoding with ported reference ASR/LM checkpoints, whose
+output layers are tied to the original vocabulary (a retrained vocab would
+produce mismatched token ids).
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ class UnigramTokenizer:
         self.log_probs: dict[str, float] = {}
         self._ids: dict[str, int] = {}
         self._native = None  # C++ encoder handle (native/tokenizer.cc)
+        # id-space layout: trained models place pieces after the RESERVED
+        # block; sentencepiece-loaded models adopt the .model's ids directly
+        self._offset = len(self.RESERVED)
+        self._control_ids: set[int] = set()
 
     # -- persistence ------------------------------------------------------------
 
@@ -57,7 +67,7 @@ class UnigramTokenizer:
     load = Load
 
     def _reindex(self):
-        self._ids = {p: i + len(self.RESERVED) for i, p in enumerate(self.pieces)}
+        self._ids = {p: i + self._offset for i, p in enumerate(self.pieces)}
         self._native = None
         self._init_native()
 
@@ -88,7 +98,7 @@ class UnigramTokenizer:
                 *[p.encode("utf-8") for p in self.pieces]
             )
             lps = (ctypes.c_double * len(self.pieces))(
-                *[self.log_probs[p] for p in self.pieces]
+                *[self.log_probs.get(p, -1e9) for p in self.pieces]
             )
             handle = lib.satpu_tok_create(arr, lps, len(self.pieces))
             self._native = (lib, handle)
@@ -96,7 +106,7 @@ class UnigramTokenizer:
             self._native = None
 
     def vocab_size(self) -> int:
-        return len(self.RESERVED) + len(self.pieces)
+        return self._offset + len(self.pieces)
 
     get_piece_size = vocab_size
 
@@ -195,8 +205,8 @@ class UnigramTokenizer:
             lib, handle = self._native
             out = (ctypes.c_int * (len(sent) + 1))()
             m = lib.satpu_tok_encode(handle, sent.encode("utf-8"), out, len(sent) + 1)
-            n_res = len(self.RESERVED)
-            return [out[i] + n_res if out[i] >= 0 else 0 for i in range(m)]
+            off = self._offset
+            return [out[i] + off if out[i] >= 0 else 0 for i in range(m)]
         pieces = self._viterbi(sent, self.log_probs, max(len(p) for p in self.pieces) if self.pieces else 1)
         return [self._ids.get(p, 0) for p in pieces]
 
@@ -207,6 +217,100 @@ class UnigramTokenizer:
         return self._viterbi(sent, self.log_probs, max(len(p) for p in self.pieces) if self.pieces else 1)
 
     def decode_ids(self, ids) -> str:
-        rev = {i + len(self.RESERVED): p for i, p in enumerate(self.pieces)}
-        text = "".join(rev.get(int(i), "") for i in ids)
+        rev = {i + self._offset: p for i, p in enumerate(self.pieces)}
+        text = "".join(
+            rev.get(int(i), "") for i in ids if int(i) not in self._control_ids
+        )
         return text.replace(_WB, " ").strip()
+
+    # -- sentencepiece .model interop ----------------------------------------------
+
+    def load_sentencepiece(self, path: str):
+        """Load a real sentencepiece ``.model`` protobuf (unigram), adopting
+        its id space verbatim (piece index == token id, control pieces at
+        their original positions). Needed so ported reference ASR/LM
+        checkpoints (reference convae.yaml:316 tokenizer.ckpt) decode with
+        matching token ids. Only the wire fields used by unigram inference
+        are read: ModelProto.pieces (field 1) -> SentencePiece{piece=1,
+        score=2, type=3}."""
+        with open(path, "rb") as f:
+            data = f.read()
+        pieces, scores, types = _parse_spm_model(data)
+        self.pieces = pieces
+        self._offset = 0
+        # control/unknown/unused pieces never participate in segmentation
+        self.log_probs = {
+            p: s for p, s, t in zip(pieces, scores, types) if t in (1, 4, 6)
+        }
+        self._control_ids = {
+            i for i, t in enumerate(types) if t not in (1, 4, 6)
+        }
+        self._reindex()
+        return self
+
+
+def _parse_spm_model(data: bytes):
+    """Minimal protobuf wire-format parser for sentencepiece ModelProto."""
+    import struct as _struct
+
+    def read_varint(buf, i):
+        result = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result, i
+            shift += 7
+
+    def skip(buf, i, wire):
+        if wire == 0:
+            _, i = read_varint(buf, i)
+        elif wire == 1:
+            i += 8
+        elif wire == 2:
+            n, i = read_varint(buf, i)
+            i += n
+        elif wire == 5:
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        return i
+
+    def parse_piece(buf):
+        piece, score, ptype = "", 0.0, 1  # type defaults to NORMAL
+        i = 0
+        while i < len(buf):
+            tag, i = read_varint(buf, i)
+            field, wire = tag >> 3, tag & 7
+            if field == 1 and wire == 2:
+                n, i = read_varint(buf, i)
+                piece = buf[i : i + n].decode("utf-8")
+                i += n
+            elif field == 2 and wire == 5:
+                (score,) = _struct.unpack("<f", buf[i : i + 4])
+                i += 4
+            elif field == 3 and wire == 0:
+                ptype, i = read_varint(buf, i)
+            else:
+                i = skip(buf, i, wire)
+        return piece, score, ptype
+
+    pieces, scores, types = [], [], []
+    i = 0
+    while i < len(data):
+        tag, i = read_varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # ModelProto.pieces
+            n, i = read_varint(data, i)
+            p, s, t = parse_piece(data[i : i + n])
+            i += n
+            pieces.append(p)
+            scores.append(float(s))
+            types.append(int(t))
+        else:
+            i = skip(data, i, wire)
+    if not pieces:
+        raise ValueError("no sentencepiece pieces found (not a .model file?)")
+    return pieces, scores, types

@@ -20,6 +20,13 @@ Layout rules:
                                           with a kernel FLIP (lax.conv_transpose
                                           correlates, torch convolves)
   BatchNorm: weight->scale, bias->bias, running_mean/var->batch_stats
+
+Vocabulary interop: ported ASR/LM checkpoints have output layers tied to
+the ORIGINAL sentencepiece vocabulary — decoding them with a retrained
+UnigramTokenizer vocab produces mismatched token ids. Load the matching
+``tokenizer.ckpt``/``.model`` file via
+``UnigramTokenizer.load_sentencepiece`` (data/tokenizer.py), which adopts
+the sentencepiece id space verbatim.
 """
 
 from __future__ import annotations
