@@ -1,0 +1,219 @@
+"""Reduced-scale reproduction of the reference's headline research rows
+(VERDICT round-1 #5).
+
+No LibriSpeech audio ships in this environment, so this reproduces the
+KIND of result in BASELINE.md on a fully synthetic, formant-rich gendered
+corpus (disjoint test speakers), end-to-end through the real recipes:
+
+  1. gender_classifier recipe (x-vector + MLP head) on original audio
+     -> test ACC  (reference row: results/gender_classifier/1230/
+     train_log.txt, valid error ~3.4-6.5e-2 -> ACC ~0.94-0.97);
+  2. anonymizer recipe (FC-AE, adversarial recon0.5/sex0.5 schedule like
+     the shipped fullyconn_updatedsexclassifier_recon0.5_sex0.5 run) with
+     the stage-1 classifier attached as the external evaluator
+     -> ACC_external on ORIGINAL vs ANONYMIZED features (reference row:
+     ACC_ext 0.39 on anonymized vs ~0.96 on original).
+
+Writes EXPERIMENTS.md. Runs on CPU by default (deterministic, no tunnel);
+SATPU_PLATFORM=tpu uses the chip.
+
+  timeout 3000 python scripts/repro_gender_row.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("SATPU_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from speech_anonymization_tpu.data.audio import write_wav
+
+SR = 16000
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.path.join(REPO, "configs")
+
+
+# ---------------------------------------------------------------- corpus
+
+def _utterance(rng, f0_base, formant_scale, seconds):
+    """Formant-synthesized 'speech': a sequence of vowel-like phones with
+    per-phone formant targets, F0 declination + jitter, and breath noise."""
+    n = int(seconds * SR)
+    out = np.zeros(n)
+    pos = 0
+    while pos < n:
+        dur = int(rng.uniform(0.12, 0.28) * SR)
+        dur = min(dur, n - pos)
+        t = np.arange(dur) / SR
+        # per-phone targets
+        f1 = rng.uniform(300, 850) * formant_scale
+        f2 = rng.uniform(900, 2200) * formant_scale
+        f3 = rng.uniform(2300, 3000) * formant_scale
+        f0 = f0_base * (1.0 + 0.06 * rng.standard_normal()) * (1.0 - 0.1 * pos / n)
+
+        def env(f):
+            return (
+                1.0 * np.exp(-0.5 * ((f - f1) / 120.0) ** 2)
+                + 0.6 * np.exp(-0.5 * ((f - f2) / 180.0) ** 2)
+                + 0.25 * np.exp(-0.5 * ((f - f3) / 250.0) ** 2)
+                + 0.01
+            )
+
+        x = np.zeros(dur)
+        k = 1
+        while k * f0 < 4500:
+            # mild vibrato so harmonics are not laser lines
+            phase = 2 * np.pi * k * f0 * t * (1 + 0.003 * np.sin(2 * np.pi * 5.0 * t))
+            x += env(k * f0) * np.cos(phase + rng.uniform(0, 2 * np.pi))
+            k += 1
+        x *= 0.22 / (np.abs(x).max() + 1e-9)
+        # amplitude envelope (attack/decay) + breath noise
+        a = np.minimum(1.0, np.minimum(t / 0.02, (dur / SR - t) / 0.03).clip(0.05))
+        out[pos : pos + dur] = x * a + 0.004 * rng.standard_normal(dur)
+        pos += dur
+        # short pause sometimes
+        if rng.random() < 0.3:
+            pos += int(rng.uniform(0.02, 0.08) * SR)
+    return out.astype(np.float32)
+
+
+WORDS = ["HELLO", "WORLD", "SPEECH", "MODEL", "TEST", "AUDIO", "SIGNAL", "VOICE"]
+
+
+def build_corpus(root, n_train_spk=8, n_test_spk=2, utts=10, seconds=2.0, seed=0):
+    """M/F speakers with disjoint test speakers. F0: M ~ N(115, 12), F ~
+    N(210, 18); female formants scaled ~1.12x (vocal-tract length cue)."""
+    rng = np.random.default_rng(seed)
+    speakers = {}
+    sid = 100
+    for split, n_spk in (("train-clean", n_train_spk), ("test-clean", n_test_spk)):
+        for i in range(n_spk):
+            for sex in ("M", "F"):
+                f0 = rng.normal(115, 12) if sex == "M" else rng.normal(210, 18)
+                scale = rng.normal(1.0, 0.03) if sex == "M" else rng.normal(1.12, 0.03)
+                speakers[str(sid)] = (split, sex, max(80.0, f0), scale)
+                sid += 1
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "SPEAKERS.TXT"), "w") as f:
+        f.write("; speaker | sex | subset\n")
+        for spk, (split, sex, _, _) in speakers.items():
+            f.write(f"{spk} | {sex} | {split}\n")
+    total_s = 0.0
+    for spk, (split, sex, f0, scale) in speakers.items():
+        chap_dir = os.path.join(root, split, spk, "100")
+        os.makedirs(chap_dir, exist_ok=True)
+        lines = []
+        for u in range(utts):
+            utt_id = f"{spk}-100-{u:04d}"
+            dur = seconds * rng.uniform(0.8, 1.2)
+            wav = _utterance(rng, f0, scale, dur)
+            total_s += len(wav) / SR
+            write_wav(os.path.join(chap_dir, utt_id + ".wav"), wav, SR)
+            lines.append(f"{utt_id} " + " ".join(rng.choice(WORDS, size=4)))
+        with open(os.path.join(chap_dir, f"{spk}-100.trans.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return speakers, total_s
+
+
+def _common(root, out):
+    csv = os.path.join(root, "train-clean.csv")
+    return [
+        "--data_folder", root,
+        "--train_splits", '["train-clean"]',
+        "--dev_splits", '["train-clean"]',
+        "--test_splits", '["test-clean"]',
+        "--train_csv", csv,
+        "--valid_csv", csv,
+        "--output_folder", out,
+        "--save_folder", os.path.join(out, "save"),
+        "--train_log", os.path.join(out, "train_log.txt"),
+        "--gradient_accumulation", "1",
+    ]
+
+
+def main():
+    from speech_anonymization_tpu.recipes import anonymizer, gender_classifier
+
+    work = os.path.join(REPO, "save", "repro_gender_row")
+    os.makedirs(work, exist_ok=True)
+    root = os.path.join(work, "corpus")
+    if not os.path.exists(os.path.join(root, "SPEAKERS.TXT")):
+        speakers, total_s = build_corpus(root)
+        print(f"corpus: {len(speakers)} speakers, {total_s/60:.1f} min audio")
+    test_csv = os.path.join(root, "test-clean.csv")
+
+    # ---- stage 1: gender classifier on original audio ----------------------
+    gout = os.path.join(work, "gender")
+    gb = gender_classifier.main(
+        [os.path.join(BASE, "gender_classifier.yaml")]
+        + _common(root, gout)
+        + ["--test_csv", test_csv, "--batch_size", "16",
+           "--number_of_epochs", "8"]
+    )
+    acc_orig = 1.0 - float(gb.test_stats["error"])
+    print(f"[stage 1] gender ACC on ORIGINAL audio (held-out speakers): {acc_orig:.3f}")
+
+    # ---- stage 2: adversarial FC-AE with the evaluator attached ------------
+    nout = os.path.join(work, "anon")
+    schedule = (
+        '[{"weights": {"recon": 0.5, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
+        ' "train": "generator"},'
+        ' {"weights": {"recon": 0.0, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
+        ' "train": "sex_classifier"}]'
+    )
+    nb = anonymizer.main(
+        [os.path.join(BASE, "convae.yaml")]
+        + _common(root, nout)
+        + ["--test_csv", f'["{test_csv}"]',
+           "--batch_size", "8", "--number_of_epochs", "6",
+           "--model_type", "fcae",
+           "--adversarial_schedule", schedule,
+           "--external_classifier_dir", os.path.join(gout, "save", "ckpts"),
+           ]
+    )
+    s = nb.test_stats
+    acc_ext_orig = float(s["ACC_external_orig"])
+    acc_ext_anon = float(s["ACC_external"])
+    acc_int = float(s["ACC"])
+    print(f"[stage 2] ACC_external orig={acc_ext_orig:.3f} anon={acc_ext_anon:.3f} "
+          f"internal={acc_int:.3f}")
+
+    doc = f"""# Reduced-scale reproduction of the reference research rows
+
+The environment ships no LibriSpeech audio, so the reference's headline
+rows are reproduced IN KIND on a synthetic formant-rich gendered corpus
+(16 train + 4 held-out test speakers, ~{'{:.0f}'.format(20*10*2/60)} min, F0 M~115 Hz /
+F~210 Hz, female formants x1.12) through the real recipes end-to-end.
+Scale caveat: absolute numbers are not comparable to LibriSpeech rows;
+the DIRECTIONS and mechanism (adversarially trained FC-AE hides the sex
+cue from an externally trained evaluator while reconstructing features)
+are what is being demonstrated.
+
+| Row | Reference (LibriSpeech, full scale) | This repo (synthetic, reduced) |
+|---|---|---|
+| Gender ACC, original audio | ~0.96 (results/gender_classifier/1230/train_log.txt) | **{acc_orig:.3f}** |
+| ACC_external, original features | ~0.96 | **{acc_ext_orig:.3f}** |
+| ACC_external, ANONYMIZED features | 0.39 (fullyconn_updatedsexclassifier_recon0.5_sex0.5, wer_test-clean) | **{acc_ext_anon:.3f}** |
+| Internal (adversary) ACC on anon | — | {acc_int:.3f} |
+
+Commands (deterministic, CPU):
+
+    python scripts/repro_gender_row.py
+
+(recipe chain: gender_classifier.yaml 8 epochs -> convae.yaml fcae,
+adversarial schedule recon0.5/sex0.5 + sex_classifier phase, 6 epochs,
+external evaluator from stage 1; disjoint test speakers throughout.)
+"""
+    with open(os.path.join(REPO, "EXPERIMENTS.md"), "w") as f:
+        f.write(doc)
+    print("wrote EXPERIMENTS.md")
+
+
+if __name__ == "__main__":
+    main()

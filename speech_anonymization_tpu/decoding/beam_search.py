@@ -63,8 +63,8 @@ def beam_search(
     cfg: BeamSearchConfig,
     lm_step_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     max_steps: int | None = None,
-    att_cached: tuple[Callable, Callable] | None = None,
-    lm_cached: tuple[Callable, Callable] | None = None,
+    att_cached: tuple | None = None,
+    lm_cached: tuple | None = None,
 ):
     """Decode. Returns (tokens (B, U_max), lengths (B,), scores (B,)).
 
@@ -72,10 +72,13 @@ def beam_search(
       * full-prefix: ``att_step_fn(tokens (N, U_max), step) -> (N, V)``
         next-token LOGITS for the prefix tokens[:, :step+1] (static buffer,
         causal mask; logits at column ``step``) — O(U^2) total;
-      * KV-cached: ``att_cached = (init_fn, step_fn)`` with
-        ``init_fn(n, u_max) -> state`` and
+      * KV-cached: ``att_cached = (init_fn, step_fn[, reorder_fn])`` with
+        ``init_fn(n, u_max) -> state``,
         ``step_fn(state, prev_token (N,), step) -> (logits (N, V), state)``
-        — O(U) per step; beam reordering gathers the cache.
+        — O(U) per step — and optional
+        ``reorder_fn(state, parent (B, K)) -> state`` to reorder the cache
+        to new beam parents (e.g. models.transformer.beam_reorder_cache's
+        MXU one-hot permute); without it the cache is row-gathered.
     ``lm_step_fn``/``lm_cached`` follow the same contracts.
     ``ctc_log_probs``: (B, T, V) from the ctc head, or None to disable
     joint scoring. Temperatures are applied here.
@@ -194,10 +197,19 @@ def beam_search(
             )
         else:
             new_ctc = ctc_state
-        # reorder decoder caches to the new beam order
+        # reorder decoder caches to the new beam order (custom reorder_fn
+        # when provided — one-hot MXU permute — else a row gather)
         reorder = lambda tree: jax.tree_util.tree_map(lambda a: a[flat_parent], tree)
-        att_state = reorder(att_state) if att_cached is not None else att_state
-        lm_state = reorder(lm_state) if lm_cached is not None else lm_state
+        if att_cached is not None:
+            att_state = (
+                att_cached[2](att_state, parent) if len(att_cached) > 2
+                else reorder(att_state)
+            )
+        if lm_cached is not None:
+            lm_state = (
+                lm_cached[2](lm_state, parent) if len(lm_cached) > 2
+                else reorder(lm_state)
+            )
 
         return (
             new_tokens, new_acc, new_ctc, fin_score, fin_tokens, fin_len,

@@ -38,18 +38,54 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
                   dtype=jnp.float32, pad_index: int = 0) -> dict:
     """KV + token buffers for incremental decoding (callable outside
     apply — flax setup attributes are unavailable there). The token buffer
-    lets cached steps reproduce the full path's pad-key masking."""
+    lets cached steps reproduce the full path's pad-key masking.
+
+    Layout: ONE stacked (L, N, U, H, D) array per k/v rather than per-layer
+    buffers — beam reorder then touches one array, and the per-step write
+    is a single dynamic_update_slice over all layers (measured: per-layer
+    gathers interleaved with the step graph ran at ~61 GB/s on v5e,
+    ~94% of LM decode cost; see BENCHMARKS.md round 2). ``dtype=bfloat16``
+    halves cache traffic; scores/outputs still accumulate in f32.
+    """
     return {
-        "layers": [
-            {
-                "k": jnp.zeros((batch, u_max, nhead, d_head), dtype),
-                "v": jnp.zeros((batch, u_max, nhead, d_head), dtype),
-            }
-            for _ in range(num_layers)
-        ],
+        "k": jnp.zeros((num_layers, batch, u_max, nhead, d_head), dtype),
+        "v": jnp.zeros((num_layers, batch, u_max, nhead, d_head), dtype),
         # init to pad so un-written positions are masked like the full path
         "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
     }
+
+
+def beam_reorder_cache(cache: dict, parent: jax.Array) -> dict:
+    """Reorder a stacked KV cache to new beam parents, (B, K) ``parent``.
+
+    Parents point within each batch item's K beams, so the permutation is
+    block-diagonal: implemented as a per-batch one-hot einsum that runs on
+    the MXU instead of a row gather (measured 124 GB/s gather vs matmul at
+    ~4x that effective rate on v5e). EXACT for any cache dtype: each one-hot
+    row has a single 1.0, so no accumulation or rounding occurs (f32 uses
+    precision=HIGHEST, whose bf16x3 decomposition reproduces f32 exactly
+    when multiplied by 1).
+    """
+    b, k = parent.shape
+
+    def perm(a):  # (L, B*K, U, H, D)
+        l, n = a.shape[0], a.shape[1]
+        oh = jax.nn.one_hot(parent, k, dtype=a.dtype)  # (B, K, K)
+        x = a.reshape(l, b, k, -1)
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if a.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        y = jnp.einsum("bij,lbjr->lbir", oh, x, precision=prec)
+        return y.reshape(a.shape)
+
+    tokens = cache["tokens"]
+    n, u = tokens.shape
+    toks = jnp.take_along_axis(
+        tokens.reshape(b, k, u), parent[:, :, None], axis=1
+    ).reshape(n, u)
+    return {"k": perm(cache["k"]), "v": perm(cache["v"]), "tokens": toks}
 
 
 def sinusoidal_positions(max_len: int, d_model: int) -> jnp.ndarray:
@@ -106,30 +142,80 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
         return self.out_proj(out)
 
-    def __call__(self, q, kv, mask=None, train: bool = False, cache=None, cache_index=None):
-        """Full attention, or single-step cached decoding.
+    def attend_kv_grouped(self, q, kh, vh, mask=None):
+        """Cross-attention with the memory K/V SHARED across beam groups.
 
-        Cached mode (``cache`` = dict with 'k','v' buffers (B, U_max, H, D),
-        ``cache_index`` = current step): q is (B, 1, D_model); the new
-        token's k/v are written at ``cache_index`` and q attends over the
-        buffer prefix. Returns (out, new_cache) in cached mode.
+        q: (N, 1, Dm) with N = B * K beams; kh/vh: (B, T, H, D) — NOT
+        repeated per beam. The round-1 design repeated the encoder memory
+        K times, making every decode step read K x more cross-KV HBM than
+        necessary (~2.4 GB/step at the bench shape). mask: (B, 1, 1, T).
         """
+        d_head = self.d_model // self.nhead
+        b = kh.shape[0]
+        qh = self.q_proj(q)  # (N, 1, H, D)
+        qg = qh.reshape(b, -1, self.nhead, d_head)  # (B, K, H, D)
+        scores = jnp.einsum(
+            "bkhd,bthd->bhkt", qg, kh, preferred_element_type=jnp.float32
+        ) / math.sqrt(d_head)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)  # (B,1,1,T) broadcast
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhkt,bthd->bkhd", weights, vh, preferred_element_type=jnp.float32
+        )
+        return self.out_proj(out.reshape(q.shape[0], 1, self.nhead, d_head))
+
+    def step(self, x, k_buf, v_buf, mask, step):
+        """Single-token cached self-attention WITHOUT writing the cache.
+
+        x: (N, 1, Dm) input at position ``step``; k_buf/v_buf: (N, U, H, D)
+        cache holding positions < step. Position ``step`` of the buffers may
+        hold stale data: its score and value contributions are overridden
+        with this step's fresh kh/vh, so no per-layer dynamic_update_slice
+        is needed — the caller writes all layers' kh/vh with ONE stacked
+        update (the per-layer DUS+gather pattern measured ~61 GB/s on v5e).
+        mask: optional (N, 1, 1, U) key mask. Returns
+        (out (N, 1, Dm), kh, vh each (N, 1, H, D), f32).
+        """
+        d_head = self.d_model // self.nhead
+        qh = self.q_proj(x)
+        kh = self.k_proj(x)
+        vh = self.v_proj(x)
+        u_max = k_buf.shape[1]
+        # cast the single-token operand to the cache dtype (bf16 caches then
+        # feed the MXU natively instead of materializing an f32 copy of the
+        # whole buffer); accumulate in f32
+        qc = qh.astype(k_buf.dtype)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", qc, k_buf, preferred_element_type=jnp.float32
+        ) / math.sqrt(d_head)
+        s_new = jnp.einsum(
+            "bqhd,bqhd->bhq", qh, kh, preferred_element_type=jnp.float32
+        )[..., None] / math.sqrt(d_head)
+        pos = jnp.arange(u_max)[None, None, None, :]
+        scores = jnp.where(pos == step, s_new, scores)
+        scores = jnp.where(pos <= step, scores, NEG_INF)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        weights = jax.nn.softmax(scores, axis=-1)  # (N, H, 1, U)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", weights.astype(v_buf.dtype), v_buf,
+            preferred_element_type=jnp.float32,
+        )
+        # replace the stale value contribution at position `step` with vh
+        w_step = jax.lax.dynamic_slice_in_dim(weights, step, 1, axis=3)  # (N,H,1,1)
+        v_stale = jax.lax.dynamic_slice_in_dim(v_buf, step, 1, axis=1)  # (N,1,H,D)
+        out = out + jnp.transpose(w_step, (0, 2, 1, 3)) * (
+            vh - v_stale.astype(vh.dtype)
+        )
+        return self.out_proj(out), kh, vh
+
+    def __call__(self, q, kv, mask=None, train: bool = False):
+        """Full (non-incremental) attention."""
         d_head = self.d_model // self.nhead
         qh = self.q_proj(q)
         kh = self.k_proj(kv)
         vh = self.v_proj(kv)
-        if cache is not None:
-            k_buf = jax.lax.dynamic_update_slice_in_dim(cache["k"], kh, cache_index, axis=1)
-            v_buf = jax.lax.dynamic_update_slice_in_dim(cache["v"], vh, cache_index, axis=1)
-            u_max = k_buf.shape[1]
-            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, k_buf) / math.sqrt(d_head)
-            valid = jnp.arange(u_max)[None, None, None, :] <= cache_index
-            scores = jnp.where(valid, scores, NEG_INF)
-            if mask is not None:
-                scores = jnp.where(mask, scores, NEG_INF)
-            weights = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_buf)
-            return self.out_proj(out), {"k": k_buf, "v": v_buf}
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
@@ -162,23 +248,26 @@ class EncoderLayer(nn.Module):
     d_ffn: int
     dropout: float = 0.0
 
-    @nn.compact
-    def __call__(self, x, mask=None, train: bool = False, cache=None, cache_index=None):
-        if cache is not None:
-            attn, new_cache = MultiHeadAttention(
-                self.d_model, self.nhead, self.dropout, name="attn"
-            )(x, x, mask, train, cache=cache, cache_index=cache_index)
-        else:
-            attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="attn")(
-                x, x, mask, train
-            )
-            new_cache = None
-        x = nn.LayerNorm()(x + attn)
-        ff = FeedForward(self.d_model, self.d_ffn, self.dropout)(x, train)
-        out = nn.LayerNorm()(x + ff)
-        if cache is not None:
-            return out, new_cache
-        return out
+    def setup(self):
+        # explicit names preserve the parameter tree of the original
+        # nn.compact implementation (ported checkpoints depend on it)
+        self.attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="attn")
+        self.ln1 = nn.LayerNorm(name="LayerNorm_0")
+        self.ff = FeedForward(self.d_model, self.d_ffn, self.dropout, name="FeedForward_0")
+        self.ln2 = nn.LayerNorm(name="LayerNorm_1")
+
+    def __call__(self, x, mask=None, train: bool = False):
+        attn = self.attn(x, x, mask, train)
+        x = self.ln1(x + attn)
+        ff = self.ff(x, train)
+        return self.ln2(x + ff)
+
+    def decode_step(self, x, k_buf, v_buf, mask, step):
+        """Cached single-token step; returns (out, kh, vh) — the caller
+        owns the stacked cache write (see MultiHeadAttention.step)."""
+        attn, kh, vh = self.attn.step(x, k_buf, v_buf, mask, step)
+        x = self.ln1(x + attn)
+        return self.ln2(x + self.ff(x, False)), kh, vh
 
 
 class DecoderLayer(nn.Module):
@@ -202,24 +291,28 @@ class DecoderLayer(nn.Module):
         return self.cross_attn.kv(memory)
 
     def __call__(self, x, memory, self_mask=None, cross_mask=None, train: bool = False,
-                 cache=None, cache_index=None, cross_kv=None):
-        if cache is not None:
-            attn, new_cache = self.self_attn(
-                x, x, self_mask, train, cache=cache, cache_index=cache_index
-            )
-        else:
-            attn = self.self_attn(x, x, self_mask, train)
-            new_cache = None
+                 cross_kv=None):
+        attn = self.self_attn(x, x, self_mask, train)
         x = self.ln1(x + attn)
         if cross_kv is not None:
             cross = self.cross_attn.attend_kv(x, cross_kv[0], cross_kv[1], cross_mask)
         else:
             cross = self.cross_attn(x, memory, cross_mask, train)
         x = self.ln2(x + cross)
-        out = self.ln3(x + self.ff(x, train))
-        if cache is not None:
-            return out, new_cache
-        return out
+        return self.ln3(x + self.ff(x, train))
+
+    def decode_step(self, x, cross_kv, self_mask, cross_mask, k_buf, v_buf, step):
+        """Cached single-token step with beam-grouped cross-attention.
+
+        cross_kv: (kh, vh) of the encoder memory, (B, T, H, D) with
+        N = B * beams rows in x. Returns (out, kh, vh) for the caller's
+        stacked self-attention cache write.
+        """
+        attn, kh, vh = self.self_attn.step(x, k_buf, v_buf, self_mask, step)
+        x = self.ln1(x + attn)
+        cross = self.cross_attn.attend_kv_grouped(x, cross_kv[0], cross_kv[1], cross_mask)
+        x = self.ln2(x + cross)
+        return self.ln3(x + self.ff(x, False)), kh, vh
 
 
 class TransformerASR(nn.Module):
@@ -286,30 +379,29 @@ class TransformerASR(nn.Module):
 
     # -- KV-cached incremental decoding (beam-search hot path) ------------------
 
-    def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> list[dict]:
-        d_head = self.d_model // self.nhead
-        return [
-            {
-                "k": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
-                "v": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
-            }
-            for _ in range(self.num_decoder_layers)
-        ]
+    def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> dict:
+        return make_kv_cache(
+            batch, u_max, self.num_decoder_layers, self.nhead,
+            self.d_model // self.nhead, dtype, self.pad_index,
+        )
 
     def cross_kv(self, memory):
         """Per-layer precomputed cross-attention K/V of the encoder memory."""
         return [layer.cross_kv(memory) for layer in self.decoder_layers]
 
     def decode_step(self, token, memory, cache, step, src_lengths=None, cross_kv=None):
-        """One decoder step with KV cache.
+        """One decoder step with the stacked KV cache.
 
-        token: (B,) int32 token at position ``step``; cache: dict from
-        :func:`make_kv_cache`; ``cross_kv``: optional per-layer precomputed
-        memory K/V (from :meth:`cross_kv` — avoids reprojecting the memory
-        every step). Returns (hidden (B, D), new_cache). O(U) per step;
-        key masking matches the full path (causal + pad keys excluded).
+        token: (N,) int32 at position ``step`` with N = B * beams;
+        ``memory``: (B, T, D) encoder states — NOT repeated per beam
+        (cross-attention groups the N query rows over B memory rows);
+        ``cache``: dict from :func:`make_kv_cache`; ``cross_kv``: optional
+        per-layer precomputed memory K/V (from :meth:`cross_kv` — avoids
+        reprojecting the memory every step); ``src_lengths``: (B,).
+        Returns (hidden (N, D), new_cache). O(U) per step; key masking
+        matches the full path (causal + pad keys excluded). All layers'
+        new K/V are written with ONE stacked dynamic_update_slice.
         """
-        b = token.shape[0]
         t = memory.shape[1]
         x = self.embed(token[:, None]) * math.sqrt(self.d_model)
         x = x + jax.lax.dynamic_slice_in_dim(self.pe, step, 1, axis=0)[None]
@@ -320,15 +412,21 @@ class TransformerASR(nn.Module):
         cross_mask = None
         if src_lengths is not None:
             cross_mask = lengths_to_padding_mask(src_lengths, t)[:, None, None, :]
-        new_layers = []
-        for i, (layer, layer_cache) in enumerate(zip(self.decoder_layers, cache["layers"])):
-            x, c = layer(
-                x, memory, self_mask, cross_mask, False,
-                cache=layer_cache, cache_index=step,
-                cross_kv=cross_kv[i] if cross_kv is not None else None,
+        khs, vhs = [], []
+        for i, layer in enumerate(self.decoder_layers):
+            ckv = cross_kv[i] if cross_kv is not None else layer.cross_kv(memory)
+            x, kh, vh = layer.decode_step(
+                x, ckv, self_mask, cross_mask, cache["k"][i], cache["v"][i], step
             )
-            new_layers.append(c)
-        return x[:, 0], {"layers": new_layers, "tokens": tok_buf}
+            khs.append(kh)
+            vhs.append(vh)
+        new_k = jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0, 0)
+        )
+        return x[:, 0], {"k": new_k, "v": new_v, "tokens": tok_buf}
 
 
 class TransformerLM(nn.Module):
@@ -362,26 +460,32 @@ class TransformerLM(nn.Module):
             x = layer(x, mask, train)
         return self.out(x)
 
-    def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> list[dict]:
-        d_head = self.d_model // self.nhead
-        return [
-            {
-                "k": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
-                "v": jnp.zeros((batch, u_max, self.nhead, d_head), dtype),
-            }
-            for _ in range(self.num_layers)
-        ]
+    def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> dict:
+        return make_kv_cache(
+            batch, u_max, self.num_layers, self.nhead,
+            self.d_model // self.nhead, dtype, self.pad_index,
+        )
 
     def decode_step(self, token, cache, step):
-        """(B,) token at position ``step`` -> ((B, V) logits, new_cache)."""
+        """(N,) token at position ``step`` -> ((N, V) logits, new_cache).
+
+        Stacked cache: all layers' new K/V land in one
+        dynamic_update_slice (see make_kv_cache)."""
         x = self.embed(token[:, None]) * math.sqrt(self.d_model)
         x = x + jax.lax.dynamic_slice_in_dim(self.pe, step, 1, axis=0)[None]
         tok_buf = jax.lax.dynamic_update_slice_in_dim(
             cache["tokens"], token[:, None], step, axis=1
         )
         mask = (tok_buf != self.pad_index)[:, None, None, :]
-        new_layers = []
-        for layer, layer_cache in zip(self.layers, cache["layers"]):
-            x, c = layer(x, mask, False, cache=layer_cache, cache_index=step)
-            new_layers.append(c)
-        return self.out(x[:, 0]), {"layers": new_layers, "tokens": tok_buf}
+        khs, vhs = [], []
+        for i, layer in enumerate(self.layers):
+            x, kh, vh = layer.decode_step(x, cache["k"][i], cache["v"][i], mask, step)
+            khs.append(kh)
+            vhs.append(vh)
+        new_k = jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0, 0)
+        )
+        return self.out(x[:, 0]), {"k": new_k, "v": new_v, "tokens": tok_buf}

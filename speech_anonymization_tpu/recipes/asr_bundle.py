@@ -83,39 +83,51 @@ class ASRBundle:
         self._encode_jit = jax.jit(encode)
 
         def decode(variables, lm_variables, feats, lens, beam_size, length_norm, lm_weight):
-            from ..models.transformer import make_kv_cache
+            from ..models.transformer import beam_reorder_cache, make_kv_cache
 
             enc = encode(variables, feats, lens)
             ctc_logits = self.model.apply(
                 variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
             )
             p_ctc = jax.nn.log_softmax(ctc_logits, -1)
-            k = beam_size
-            enc_k = jnp.repeat(enc, k, axis=0)
-            lens_k = jnp.repeat(lens, k, axis=0)
             m = self.model
             d_head = m.d_model // m.nhead
-            # cross-attention memory K/V projected ONCE per decode
-            cross = self.model.apply(variables, enc_k, method=ASRModel.cross_kv)
+            # cross-attention memory K/V projected ONCE per decode, at the
+            # BATCH level — decode_step groups the B*beam query rows over
+            # the shared (B, T, H, D) memory instead of repeating it per
+            # beam (the repeat made each step read ~beam x more HBM)
+            cross = self.model.apply(variables, enc, method=ASRModel.cross_kv)
+            # bf16 caches halve decode HBM traffic; 'float32' restores the
+            # bit-exact path (hypothesis parity test covers the difference)
+            cache_dtype = (
+                jnp.bfloat16
+                if self.hparams.get("decode_cache_dtype", "bfloat16") == "bfloat16"
+                else jnp.float32
+            )
 
             att_cached = (
-                lambda n, u_max: make_kv_cache(n, u_max, m.num_decoder_layers, m.nhead, d_head),
+                lambda n, u_max: make_kv_cache(
+                    n, u_max, m.num_decoder_layers, m.nhead, d_head, dtype=cache_dtype
+                ),
                 lambda state, prev_tok, step: self.model.apply(
-                    variables, prev_tok, enc_k, state, step, lens_k, cross,
+                    variables, prev_tok, enc, state, step, lens, cross,
                     method=ASRModel.decode_step_cached,
                 ),
+                beam_reorder_cache,
             )
             lm_cached = None
             if self.lm is not None and lm_weight > 0:
                 lm_d_head = self.lm.d_model // self.lm.nhead
                 lm_cached = (
                     lambda n, u_max: make_kv_cache(
-                        n, u_max, self.lm.num_layers, self.lm.nhead, lm_d_head
+                        n, u_max, self.lm.num_layers, self.lm.nhead, lm_d_head,
+                        dtype=cache_dtype,
                     ),
                     lambda state, prev_tok, step: self.lm.apply(
                         lm_variables, prev_tok, state, step,
                         method=TransformerLM.decode_step,
                     ),
+                    beam_reorder_cache,
                 )
 
             cfg = BeamSearchConfig(

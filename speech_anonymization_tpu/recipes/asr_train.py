@@ -168,7 +168,7 @@ class ASRBrain(Brain):
         self._eval_loss = jax.jit(eval_loss)
 
         def decode(params, model_state, norm_state, wavs, lens, epoch, beam_size, length_norm):
-            from ..models.transformer import make_kv_cache
+            from ..models.transformer import beam_reorder_cache, make_kv_cache
 
             feats, _ = self._features(norm_state, wavs, lens, epoch, False)
             variables = {"params": params, **model_state}
@@ -177,18 +177,24 @@ class ASRBrain(Brain):
                 variables, enc, method=lambda m, e: m.heads.ctc_logits(e)
             )
             p_ctc = jax.nn.log_softmax(ctc_logits, -1)
-            enc_k = jnp.repeat(enc, beam_size, axis=0)
-            lens_k = jnp.repeat(lens, beam_size, axis=0)
             m = self.model
-            cross = self.model.apply(variables, enc_k, method=ASRModel.cross_kv)
+            # memory K/V stay at the batch level; decode_step groups beams
+            cross = self.model.apply(variables, enc, method=ASRModel.cross_kv)
+            cache_dtype = (
+                jnp.bfloat16
+                if self.hparams.get("decode_cache_dtype", "bfloat16") == "bfloat16"
+                else jnp.float32
+            )
             att_cached = (
                 lambda n, u_max: make_kv_cache(
-                    n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead
+                    n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead,
+                    dtype=cache_dtype,
                 ),
                 lambda state, prev_tok, step: self.model.apply(
-                    variables, prev_tok, enc_k, state, step, lens_k, cross,
+                    variables, prev_tok, enc, state, step, lens, cross,
                     method=ASRModel.decode_step_cached,
                 ),
+                beam_reorder_cache,
             )
 
             cfg = BeamSearchConfig(

@@ -43,6 +43,8 @@ def test_decode_step_cached_matches_full_prefix():
 
 
 def test_beam_search_cached_equals_uncached():
+    from speech_anonymization_tpu.models.transformer import beam_reorder_cache
+
     model, variables, enc, lens = _setup()
     b = enc.shape[0]
     ctc_logits = model.apply(variables, enc, method=lambda m, e: m.heads.ctc_logits(e))
@@ -56,18 +58,75 @@ def test_beam_search_cached_equals_uncached():
             variables, flat_tokens, enc_k, lens_k, step, method=ASRModel.decode_one_step
         )
 
+    # memory stays at the batch level; decode_step groups the K beams
     att_cached = (
         lambda n, u_max: make_kv_cache(n, u_max, SMALL["num_decoder_layers"], SMALL["nhead"],
                                        SMALL["d_model"] // SMALL["nhead"]),
         lambda state, prev, step: model.apply(
-            variables, prev, enc_k, state, step, lens_k, method=ASRModel.decode_step_cached
+            variables, prev, enc, state, step, lens, method=ASRModel.decode_step_cached
         ),
+        beam_reorder_cache,
     )
     cfg = BeamSearchConfig(beam_size=k, ctc_weight=0.4, length_normalization=True)
     t_u = beam_search(att_step, enc, lens, p_ctc, cfg, max_steps=5)
     t_c = beam_search(None, enc, lens, p_ctc, cfg, max_steps=5, att_cached=att_cached)
     assert hyps_to_lists(*t_u[:2]) == hyps_to_lists(*t_c[:2])
     np.testing.assert_allclose(np.asarray(t_u[2]), np.asarray(t_c[2]), atol=1e-4)
+
+
+def test_beam_reorder_cache_matches_gather():
+    """The one-hot MXU permute must be EXACT vs a row gather (single 1.0
+    per one-hot row -> no accumulation), for f32 and bf16 caches."""
+    from speech_anonymization_tpu.models.transformer import beam_reorder_cache
+
+    b, k, u = 2, 3, 5
+    for dtype in (jnp.float32, jnp.bfloat16):
+        cache = {
+            "k": jax.random.normal(KEY, (2, b * k, u, 4, 8)).astype(dtype),
+            "v": jax.random.normal(jax.random.PRNGKey(1), (2, b * k, u, 4, 8)).astype(dtype),
+            "tokens": jax.random.randint(KEY, (b * k, u), 0, 9),
+        }
+        parent = jnp.asarray([[2, 0, 1], [1, 1, 0]], jnp.int32)
+        flat_parent = (parent + jnp.arange(b)[:, None] * k).reshape(-1)
+        got = jax.jit(beam_reorder_cache)(cache, parent)
+        # k/v gather is along axis 1 (layer-stacked layout)
+        want = {
+            "k": cache["k"][:, flat_parent],
+            "v": cache["v"][:, flat_parent],
+            "tokens": cache["tokens"][flat_parent],
+        }
+        for key in ("k", "v", "tokens"):
+            np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(want[key]))
+
+
+def test_beam_search_bf16_cache_matches_f32_on_toy_model():
+    """bf16 decode caches (the production default) must reproduce the f32
+    hypotheses on the toy model (scores may differ at bf16 resolution)."""
+    model, variables, enc, lens = _setup()
+    ctc_logits = model.apply(variables, enc, method=lambda m, e: m.heads.ctc_logits(e))
+    p_ctc = jax.nn.log_softmax(ctc_logits, -1)
+    k = 3
+    cfg = BeamSearchConfig(beam_size=k, ctc_weight=0.4, length_normalization=True)
+    from speech_anonymization_tpu.models.transformer import beam_reorder_cache
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        att_cached = (
+            lambda n, u_max: make_kv_cache(
+                n, u_max, SMALL["num_decoder_layers"], SMALL["nhead"],
+                SMALL["d_model"] // SMALL["nhead"], dtype=dtype,
+            ),
+            lambda state, prev, step: model.apply(
+                variables, prev, enc, state, step, lens, method=ASRModel.decode_step_cached
+            ),
+            beam_reorder_cache,
+        )
+        outs[dtype] = beam_search(None, enc, lens, p_ctc, cfg, max_steps=5,
+                                  att_cached=att_cached)
+    assert hyps_to_lists(*outs[jnp.float32][:2]) == hyps_to_lists(*outs[jnp.bfloat16][:2])
+    np.testing.assert_allclose(
+        np.asarray(outs[jnp.float32][2]), np.asarray(outs[jnp.bfloat16][2]), atol=5e-2
+    )
 
 
 def test_lm_decode_step_matches_full():
