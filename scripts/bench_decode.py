@@ -36,7 +36,7 @@ STEPS = 64
 hparams = {
     "test_beam_size": 66,
     "lm_weight": 0.6,
-    "ctc_weight_decode": 0.4,
+    "ctc_weight_decode": 0.4 if os.environ.get("DEC_CTC", "1") == "1" else 0.0,
     "temperature": 1.15,
     "temperature_lm": 1.15,
     "max_decode_steps": STEPS,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N, L2, U, H, D = 528, 24, 65, 12, 64
+N, L2, U, H, D = 528, 24, 72, 12, 64  # U padded to _CU like make_kv_cache
 STEPS = 64
 
 
@@ -76,12 +76,32 @@ def stacked_nlead_bf16(x):
     return scan_over(lambda c, p: c[p], x.astype(jnp.bfloat16))[0, 0, 0, 0, :4]
 
 
+def _pallas(kind, dtype, gated=False):
+    from speech_anonymization_tpu.ops.pallas import beam_gather as bg
+
+    @jax.jit
+    def run(x):
+        xb = jnp.swapaxes(x, 0, 1).astype(dtype).reshape(L2, N, U, H * D)
+
+        def step(c, i):
+            perm = ((jnp.arange(N) + i + 1) % N).astype(jnp.int32)
+            s = jnp.full((1,), i if gated else U - 1, jnp.int32)
+            if kind == "dma":
+                return bg._gather_rows_dma(c, perm, s), ()
+            return bg._gather_rows_vmem(c, perm, s), ()
+
+        return jax.lax.scan(step, xb, jnp.arange(STEPS))[0][0, 0, 0, :4]
+
+    return run
+
+
 for label, fn, mult in [
-    ("A per-layer f32 gather   ", per_layer, 1.0),
-    ("B stacked N-leading f32  ", stacked_nlead, 1.0),
-    ("B' stacked L-leading f32 ", stacked_llead, 1.0),
     ("C one-hot bf16 matmul    ", onehot_bf16, 0.5),
-    ("D stacked N-leading bf16 ", stacked_nlead_bf16, 0.5),
+    ("E pallas VMEM copy bf16  ", _pallas("vmem", jnp.bfloat16), 0.5),
+    ("F pallas HBM DMA bf16    ", _pallas("dma", jnp.bfloat16), 0.5),
+    ("F' pallas HBM DMA f32    ", _pallas("dma", jnp.float32), 1.0),
+    ("G gated DMA bf16 (step=i)", _pallas("dma", jnp.bfloat16, True), 0.5),
+    ("G' gated DMA f32 (step=i)", _pallas("dma", jnp.float32, True), 1.0),
 ]:
     t = timeit(fn, base)
     eff = 2 * gb * mult / (t / STEPS)

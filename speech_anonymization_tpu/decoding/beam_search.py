@@ -76,9 +76,10 @@ def beam_search(
         ``init_fn(n, u_max) -> state``,
         ``step_fn(state, prev_token (N,), step) -> (logits (N, V), state)``
         — O(U) per step — and optional
-        ``reorder_fn(state, parent (B, K)) -> state`` to reorder the cache
-        to new beam parents (e.g. models.transformer.beam_reorder_cache's
-        MXU one-hot permute); without it the cache is row-gathered.
+        ``reorder_fn(state, parent (B, K), step) -> state`` to reorder the
+        cache to new beam parents (e.g. models.transformer.
+        beam_reorder_cache's Pallas DMA gather of positions <= step);
+        without it the cache is row-gathered.
     ``lm_step_fn``/``lm_cached`` follow the same contracts.
     ``ctc_log_probs``: (B, T, V) from the ctc head, or None to disable
     joint scoring. Temperatures are applied here.
@@ -198,16 +199,17 @@ def beam_search(
         else:
             new_ctc = ctc_state
         # reorder decoder caches to the new beam order (custom reorder_fn
-        # when provided — one-hot MXU permute — else a row gather)
+        # when provided — Pallas DMA gather of positions <= step — else a
+        # row gather)
         reorder = lambda tree: jax.tree_util.tree_map(lambda a: a[flat_parent], tree)
         if att_cached is not None:
             att_state = (
-                att_cached[2](att_state, parent) if len(att_cached) > 2
+                att_cached[2](att_state, parent, step) if len(att_cached) > 2
                 else reorder(att_state)
             )
         if lm_cached is not None:
             lm_state = (
-                lm_cached[2](lm_state, parent) if len(lm_cached) > 2
+                lm_cached[2](lm_state, parent, step) if len(lm_cached) > 2
                 else reorder(lm_state)
             )
 
@@ -219,7 +221,21 @@ def beam_search(
     best_total0 = jnp.full((b,), NEG_INF)
     carry = (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len,
              best_total0, att_state0, lm_state0)
-    carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_steps))
+
+    # two decode steps per scan iteration: XLA pins each while-loop carry
+    # element to ONE buffer, so a cache that ping-pongs through the Pallas
+    # reorder (whose output cannot alias its input) costs a full-cache
+    # copy-back per step. With two steps per body the second reorder's
+    # output lands back in the pinned buffer and both copies vanish
+    # (measured: 2 x ~2.1 ms/step at the bench shape, BENCHMARKS.md r2).
+    def double_step(carry, i):
+        carry, _ = step_fn(carry, 2 * i)
+        carry, _ = step_fn(carry, 2 * i + 1)
+        return carry, None
+
+    carry, _ = jax.lax.scan(double_step, carry, jnp.arange(max_steps // 2))
+    if max_steps % 2:
+        carry, _ = step_fn(carry, jnp.asarray(max_steps - 1, jnp.int32))
     tokens, acc, _, fin_score, fin_tokens, fin_len, best_total = carry[:7]
 
     # fall back to best alive when nothing finished — score uses the last

@@ -46,39 +46,48 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
     gathers interleaved with the step graph ran at ~61 GB/s on v5e,
     ~94% of LM decode cost; see BENCHMARKS.md round 2). ``dtype=bfloat16``
     halves cache traffic; scores/outputs still accumulate in f32.
+
+    ``u_max`` is rounded up to a multiple of 8 so the position axis stays
+    aligned to the TPU HBM tiling — the Pallas beam-reorder DMA
+    (ops/pallas/beam_gather.py) slices whole rows, and misaligned slices
+    fail Mosaic. Readers mask by step, so the extra positions are inert.
+
+    The head axes are stored FLAT — (L, N, U, H*D), not (L, N, U, H, D):
+    for the 5-D shape XLA picks an N-minor layout ({1,4,3,2,0}) and then
+    must materialize full-cache relayout copies at the Pallas reorder
+    boundary (measured: 4 copies x ~2.5 ms/step at the bench shape — more
+    than the reorder itself). The flat shape keeps the model width on the
+    lane axis; attention steps view heads via a free bitcast.
     """
+    u_max = -(-u_max // 8) * 8
     return {
-        "k": jnp.zeros((num_layers, batch, u_max, nhead, d_head), dtype),
-        "v": jnp.zeros((num_layers, batch, u_max, nhead, d_head), dtype),
+        "k": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
+        "v": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         # init to pad so un-written positions are masked like the full path
         "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
     }
 
 
-def beam_reorder_cache(cache: dict, parent: jax.Array) -> dict:
+def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
     """Reorder a stacked KV cache to new beam parents, (B, K) ``parent``.
 
-    Parents point within each batch item's K beams, so the permutation is
-    block-diagonal: implemented as a per-batch one-hot einsum that runs on
-    the MXU instead of a row gather (measured 124 GB/s gather vs matmul at
-    ~4x that effective rate on v5e). EXACT for any cache dtype: each one-hot
-    row has a single 1.0, so no accumulation or rounding occurs (f32 uses
-    precision=HIGHEST, whose bf16x3 decomposition reproduces f32 exactly
-    when multiplied by 1).
+    Parents point within each batch item's K beams; rows move via the
+    Pallas streaming-DMA gather (ops/pallas/beam_gather.py), which is a
+    pure copy — EXACT for any cache dtype. The earlier one-hot MXU einsum
+    and plain ``jnp.take`` both lowered to ~250/~120 GB/s on v5e vs the
+    ~310-320 GB/s copy ceiling, and at beam 66 the reorder dominated the
+    decode step (BENCHMARKS.md round 2). With ``step`` given, only
+    positions <= step move (~45% of the bytes averaged over a decode);
+    later positions are undefined, which cached decode steps tolerate
+    (they mask by step and overwrite position step+1 before reading it).
     """
-    b, k = parent.shape
+    from ..ops.pallas.beam_gather import beam_gather_rows
 
-    def perm(a):  # (L, B*K, U, H, D)
-        l, n = a.shape[0], a.shape[1]
-        oh = jax.nn.one_hot(parent, k, dtype=a.dtype)  # (B, K, K)
-        x = a.reshape(l, b, k, -1)
-        prec = (
-            jax.lax.Precision.HIGHEST
-            if a.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-        y = jnp.einsum("bij,lbjr->lbir", oh, x, precision=prec)
-        return y.reshape(a.shape)
+    b, k = parent.shape
+    src = (jnp.arange(b, dtype=jnp.int32)[:, None] * k + parent.astype(jnp.int32)).reshape(-1)
+
+    def perm(a):  # (L, N, U, M) -> gather rows along N
+        return beam_gather_rows(a, src, step)
 
     tokens = cache["tokens"]
     n, u = tokens.shape
@@ -86,6 +95,56 @@ def beam_reorder_cache(cache: dict, parent: jax.Array) -> dict:
         tokens.reshape(b, k, u), parent[:, :, None], axis=1
     ).reshape(n, u)
     return {"k": perm(cache["k"]), "v": perm(cache["v"]), "tokens": toks}
+
+
+def _make_attends(layers, attns, cache, mask_nu, step, nhead):
+    """Per-layer ``attend(qh, kh, vh) -> (N, 1, H, D)`` closures for cached
+    decode steps.
+
+    On TPU (with kernel-compatible shapes) this is the fused Pallas
+    attention-step kernel (ops/pallas/attention_step.py): the stacked
+    cache stays in HBM, only positions <= step are streamed, and — the
+    real win — NO per-layer slice of the cache ever appears in the XLA
+    graph (XLA materializes such slices as full-cache copy+convert
+    fusions: ~8.6 ms/step at the bench shape, BENCHMARKS.md round 2).
+    Elsewhere: MultiHeadAttention.attend_cached on per-layer slices.
+    """
+    n, u = mask_nu.shape
+    m = cache["k"].shape[-1]
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and m % 128 == 0
+        and u % 8 == 0
+        and n % 8 == 0
+    )
+    if use_kernel:
+        from ..ops.pallas.attention_step import cached_attention_step, head_segments
+
+        seg = head_segments(m, nhead)
+
+        def make(i):
+            def attend(qh, kh, vh):
+                out = cached_attention_step(
+                    qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
+                    mask_nu, cache["k"], cache["v"], step, i, nhead, seg,
+                )
+                return out.reshape(n, 1, nhead, m // nhead)
+
+            return attend
+
+        return [make(i) for i in range(len(layers))]
+
+    self_mask = mask_nu[:, None, None, :]
+
+    def make_jnp(i, attn):
+        def attend(qh, kh, vh):
+            return attn.attend_cached(
+                qh, kh, vh, cache["k"][i], cache["v"][i], self_mask, step
+            )
+
+        return attend
+
+    return [make_jnp(i, a) for i, a in enumerate(attns)]
 
 
 def sinusoidal_positions(max_len: int, d_model: int) -> jnp.ndarray:
@@ -165,29 +224,27 @@ class MultiHeadAttention(nn.Module):
         )
         return self.out_proj(out.reshape(q.shape[0], 1, self.nhead, d_head))
 
-    def step(self, x, k_buf, v_buf, mask, step):
-        """Single-token cached self-attention WITHOUT writing the cache.
+    def attend_cached(self, qh, kh, vh, k_buf, v_buf, mask, step):
+        """jnp (off-TPU) cached attention context — the reference math for
+        ops/pallas/attention_step.py's fused kernel.
 
-        x: (N, 1, Dm) input at position ``step``; k_buf/v_buf: (N, U, H, D)
-        cache holding positions < step. Position ``step`` of the buffers may
-        hold stale data: its score and value contributions are overridden
-        with this step's fresh kh/vh, so no per-layer dynamic_update_slice
-        is needed — the caller writes all layers' kh/vh with ONE stacked
-        update (the per-layer DUS+gather pattern measured ~61 GB/s on v5e).
-        mask: optional (N, 1, 1, U) key mask. Returns
-        (out (N, 1, Dm), kh, vh each (N, 1, H, D), f32).
+        qh/kh/vh: (N, 1, H, D) current-token heads; k_buf/v_buf: (N, U, M)
+        cache (heads flat) holding positions < step — position ``step`` of
+        the buffers may hold stale data: its score and value contributions
+        are overridden with the fresh kh/vh, so no per-layer
+        dynamic_update_slice is needed. mask: optional (N, 1, 1, U) key
+        mask. Returns the context (N, 1, H, D), f32.
         """
         d_head = self.d_model // self.nhead
-        qh = self.q_proj(x)
-        kh = self.k_proj(x)
-        vh = self.v_proj(x)
-        u_max = k_buf.shape[1]
+        n, u_max, m = k_buf.shape
+        kb = k_buf.reshape(n, u_max, self.nhead, d_head)
+        vb = v_buf.reshape(n, u_max, self.nhead, d_head)
         # cast the single-token operand to the cache dtype (bf16 caches then
         # feed the MXU natively instead of materializing an f32 copy of the
         # whole buffer); accumulate in f32
         qc = qh.astype(k_buf.dtype)
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", qc, k_buf, preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", qc, kb, preferred_element_type=jnp.float32
         ) / math.sqrt(d_head)
         s_new = jnp.einsum(
             "bqhd,bqhd->bhq", qh, kh, preferred_element_type=jnp.float32
@@ -199,16 +256,15 @@ class MultiHeadAttention(nn.Module):
             scores = jnp.where(mask, scores, NEG_INF)
         weights = jax.nn.softmax(scores, axis=-1)  # (N, H, 1, U)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", weights.astype(v_buf.dtype), v_buf,
+            "bhqk,bkhd->bqhd", weights.astype(v_buf.dtype), vb,
             preferred_element_type=jnp.float32,
         )
         # replace the stale value contribution at position `step` with vh
         w_step = jax.lax.dynamic_slice_in_dim(weights, step, 1, axis=3)  # (N,H,1,1)
-        v_stale = jax.lax.dynamic_slice_in_dim(v_buf, step, 1, axis=1)  # (N,1,H,D)
-        out = out + jnp.transpose(w_step, (0, 2, 1, 3)) * (
+        v_stale = jax.lax.dynamic_slice_in_dim(vb, step, 1, axis=1)  # (N,1,H,D)
+        return out + jnp.transpose(w_step, (0, 2, 1, 3)) * (
             vh - v_stale.astype(vh.dtype)
         )
-        return self.out_proj(out), kh, vh
 
     def __call__(self, q, kv, mask=None, train: bool = False):
         """Full (non-incremental) attention."""
@@ -262,12 +318,23 @@ class EncoderLayer(nn.Module):
         ff = self.ff(x, train)
         return self.ln2(x + ff)
 
-    def decode_step(self, x, k_buf, v_buf, mask, step):
-        """Cached single-token step; returns (out, kh, vh) — the caller
-        owns the stacked cache write (see MultiHeadAttention.step)."""
-        attn, kh, vh = self.attn.step(x, k_buf, v_buf, mask, step)
+    def decode_step(self, x, attend):
+        """Cached single-token step. ``attend(qh, kh, vh) -> (N, 1, H, D)``
+        computes the attention context against the CALLER-owned cache
+        (fused Pallas kernel on TPU, MultiHeadAttention.attend_cached
+        elsewhere). Returns (out, kh, vh flat (N, 1, M)) — the caller owns
+        the stacked cache write."""
+        n = x.shape[0]
+        qh = self.attn.q_proj(x)
+        kh = self.attn.k_proj(x)
+        vh = self.attn.v_proj(x)
+        attn = self.attn.out_proj(attend(qh, kh, vh))
         x = self.ln1(x + attn)
-        return self.ln2(x + self.ff(x, False)), kh, vh
+        return (
+            self.ln2(x + self.ff(x, False)),
+            kh.reshape(n, 1, -1),
+            vh.reshape(n, 1, -1),
+        )
 
 
 class DecoderLayer(nn.Module):
@@ -301,18 +368,27 @@ class DecoderLayer(nn.Module):
         x = self.ln2(x + cross)
         return self.ln3(x + self.ff(x, train))
 
-    def decode_step(self, x, cross_kv, self_mask, cross_mask, k_buf, v_buf, step):
+    def decode_step(self, x, attend, cross_kv, cross_mask):
         """Cached single-token step with beam-grouped cross-attention.
 
-        cross_kv: (kh, vh) of the encoder memory, (B, T, H, D) with
-        N = B * beams rows in x. Returns (out, kh, vh) for the caller's
-        stacked self-attention cache write.
+        ``attend(qh, kh, vh)`` computes the cached self-attention context
+        (see EncoderLayer.decode_step); cross_kv: (kh, vh) of the encoder
+        memory, (B, T, H, D) with N = B * beams rows in x. Returns
+        (out, kh, vh flat) for the caller's stacked cache write.
         """
-        attn, kh, vh = self.self_attn.step(x, k_buf, v_buf, self_mask, step)
+        n = x.shape[0]
+        qh = self.self_attn.q_proj(x)
+        kh = self.self_attn.k_proj(x)
+        vh = self.self_attn.v_proj(x)
+        attn = self.self_attn.out_proj(attend(qh, kh, vh))
         x = self.ln1(x + attn)
         cross = self.cross_attn.attend_kv_grouped(x, cross_kv[0], cross_kv[1], cross_mask)
         x = self.ln2(x + cross)
-        return self.ln3(x + self.ff(x, False)), kh, vh
+        return (
+            self.ln3(x + self.ff(x, False)),
+            kh.reshape(n, 1, -1),
+            vh.reshape(n, 1, -1),
+        )
 
 
 class TransformerASR(nn.Module):
@@ -403,28 +479,31 @@ class TransformerASR(nn.Module):
         new K/V are written with ONE stacked dynamic_update_slice.
         """
         t = memory.shape[1]
+        n = token.shape[0]
         x = self.embed(token[:, None]) * math.sqrt(self.d_model)
         x = x + jax.lax.dynamic_slice_in_dim(self.pe, step, 1, axis=0)[None]
         tok_buf = jax.lax.dynamic_update_slice_in_dim(
             cache["tokens"], token[:, None], step, axis=1
         )
-        self_mask = (tok_buf != self.pad_index)[:, None, None, :]
         cross_mask = None
         if src_lengths is not None:
             cross_mask = lengths_to_padding_mask(src_lengths, t)[:, None, None, :]
+        mask_nu = tok_buf != self.pad_index
+        attends = _make_attends(
+            self.decoder_layers, [l.self_attn for l in self.decoder_layers],
+            cache, mask_nu, step, self.nhead,
+        )
         khs, vhs = [], []
         for i, layer in enumerate(self.decoder_layers):
             ckv = cross_kv[i] if cross_kv is not None else layer.cross_kv(memory)
-            x, kh, vh = layer.decode_step(
-                x, ckv, self_mask, cross_mask, cache["k"][i], cache["v"][i], step
-            )
+            x, kh, vh = layer.decode_step(x, attends[i], ckv, cross_mask)
             khs.append(kh)
             vhs.append(vh)
         new_k = jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0, 0)
+            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0)
         )
         new_v = jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0, 0)
+            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0)
         )
         return x[:, 0], {"k": new_k, "v": new_v, "tokens": tok_buf}
 
@@ -476,16 +555,20 @@ class TransformerLM(nn.Module):
         tok_buf = jax.lax.dynamic_update_slice_in_dim(
             cache["tokens"], token[:, None], step, axis=1
         )
-        mask = (tok_buf != self.pad_index)[:, None, None, :]
+        mask_nu = tok_buf != self.pad_index
+        attends = _make_attends(
+            self.layers, [l.attn for l in self.layers],
+            cache, mask_nu, step, self.nhead,
+        )
         khs, vhs = [], []
         for i, layer in enumerate(self.layers):
-            x, kh, vh = layer.decode_step(x, cache["k"][i], cache["v"][i], mask, step)
+            x, kh, vh = layer.decode_step(x, attends[i])
             khs.append(kh)
             vhs.append(vh)
         new_k = jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0, 0)
+            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0)
         )
         new_v = jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0, 0)
+            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0)
         )
         return self.out(x[:, 0]), {"k": new_k, "v": new_v, "tokens": tok_buf}

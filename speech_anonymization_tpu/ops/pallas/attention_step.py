@@ -1,0 +1,214 @@
+"""Pallas TPU kernel: single-token cached self-attention for beam decode.
+
+Why a kernel at all: in the XLA formulation of one decode step, every op
+that touches the stacked KV cache costs a full-cache pass. Measured on
+v5e at the bench shape (B=8, beam 66 -> N=528 rows, 12 layers, d=768,
+trace in BENCHMARKS.md round 2): a {3,2,1,0}->{1,3,2,0} relayout copy of
+K (~2.6 ms/step, XLA prefers an N-minor layout for the per-token mat-vec
+but the Pallas reorder kernel pins the carry row-major), a kLoop fusion
+materializing all 12 per-layer K slices CONVERTED TO F32 (~3.9 ms/step),
+the same for V (~2.1 ms/step), plus conservative copies feeding the
+reorder custom call. None of that is compute — it is XLA being unable to
+fuse 12 sequential consumers of one buffer.
+
+This kernel makes the cache opaque to XLA: the whole stacked (L, N, U, M)
+cache stays in HBM (memory_space=ANY), each invocation DMAs ONLY the
+``ceil((step+1)/CU)`` live position-chunks of its row tile for its layer
+(the rest of the buffer is dead weight at step t), writes the fresh
+token's k/v into the tile at position ``step``, and runs the full
+(numerically f32) softmax-attention in VMEM. The only HBM traffic is the
+gated cache read — the theoretical minimum for this op.
+
+Head handling: rather than slicing 64-lane head columns (misaligned for
+the 128-lane VPU), per-head score/value sums are computed as ONE MXU
+matmul against a constant (M, H) head-segment matrix:
+
+    scores(n,u,h) = sum_m prod(n,u,m) * seg(m,h),   prod = q * k
+    wexp(n,u,m)   = sum_h w(n,u,h) * seg(m,h)       (broadcast back)
+
+Replaces the per-layer torch ``F.multi_head_attention_forward`` step
+inside the reference's S2STransformerBeamSearch decode loop
+(convae.yaml:226-240).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CU = 8  # positions per DMA chunk; must divide U (make_kv_cache pads)
+NEG_INF = -1e30
+
+
+def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
+            ck_ref, cv_ref, out_ref, ksc, vsc, sems, *, layer, tn, d_head):
+    i = pl.program_id(0)
+    row0 = i * tn
+    step = step_ref[0]
+    nc = (step + _CU) // _CU  # chunks covering positions <= step
+
+    def _copies(c):
+        return (
+            pltpu.make_async_copy(
+                ck_ref.at[layer, pl.ds(row0, tn), pl.ds(c * _CU, _CU), :],
+                ksc.at[:, pl.ds(c * _CU, _CU), :],
+                sems.at[0, c],
+            ),
+            pltpu.make_async_copy(
+                cv_ref.at[layer, pl.ds(row0, tn), pl.ds(c * _CU, _CU), :],
+                vsc.at[:, pl.ds(c * _CU, _CU), :],
+                sems.at[1, c],
+            ),
+        )
+
+    def _start(c, _):
+        ck, cv = _copies(c)
+        ck.start()
+        cv.start()
+        return 0
+
+    def _wait(c, _):
+        ck, cv = _copies(c)
+        ck.wait()
+        cv.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nc, _start, 0)
+    jax.lax.fori_loop(0, nc, _wait, 0)
+
+    u = ksc.shape[1]
+    m = ksc.shape[2]
+    h = m // d_head
+    seg = seg_ref[...]  # (M, H) bf16 head-segment one-hot
+    # 3-D int32 iota/masks throughout: Mosaic cannot insert a minor dim on
+    # i1/i8 vectors, so comparisons are done at their target rank
+    pos3 = jax.lax.broadcasted_iota(jnp.int32, (tn, u, 1), 1)
+    at_step = pos3 == step  # (TN, U, 1) bool
+
+    mask3 = mask_ref[...].astype(jnp.int32)[:, :, None]       # (TN, U, 1)
+    valid = (pos3 <= step) & (mask3 != 0)                     # (TN, U, 1)
+
+    # fresh token's k/v REPLACE column ``step`` (vector select — a dynamic
+    # sublane store would need 8-aligned indices, which step is not);
+    # invalid positions are zeroed: the un-DMAed scratch region is
+    # uninitialized and 0 * NaN would poison the weighted value sum
+    kk = jnp.where(at_step, kh_ref[...][:, None, :].astype(jnp.bfloat16),
+                   ksc[...].astype(jnp.bfloat16))             # (TN, U, M)
+    vv = jnp.where(at_step, vh_ref[...][:, None, :].astype(jnp.float32),
+                   vsc[...].astype(jnp.float32))              # (TN, U, M)
+    vv = jnp.where(valid | at_step, vv, 0.0)
+
+    q = q_ref[...].astype(jnp.bfloat16)                       # (TN, M)
+    prod = q[:, None, :] * kk                                 # (TN, U, M)
+    scores = jnp.dot(
+        prod.reshape(tn * u, m), seg, preferred_element_type=jnp.float32
+    ).reshape(tn, u, h) * (1.0 / math.sqrt(d_head))
+
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    mx = jnp.max(scores, axis=1, keepdims=True)               # (TN, 1, H)
+    e = jnp.exp(scores - mx)
+    w = e / jnp.sum(e, axis=1, keepdims=True)                 # (TN, U, H)
+
+    wexp = jnp.dot(
+        w.astype(jnp.bfloat16).reshape(tn * u, h), seg.T,
+        preferred_element_type=jnp.float32,
+    ).reshape(tn, u, m)
+    out = jnp.sum(wexp * vv, axis=1)                          # (TN, M)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _pick_tile(n: int) -> int:
+    for tn in (32, 16, 24, 48, 8):
+        if n % tn == 0:
+            return tn
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
+def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
+                    layer, d_head, interpret=False):
+    n, m = q.shape
+    l, _, u, _ = cache_k.shape
+    tn = _pick_tile(n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
+            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
+            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
+            pl.BlockSpec((tn, u), lambda i, s: (i, 0)),
+            pl.BlockSpec((m, m // d_head), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tn, u, m), cache_k.dtype),
+            pltpu.VMEM((tn, u, m), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2, u // _CU)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, layer=layer, tn=tn, d_head=d_head),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * u * m,
+            bytes_accessed=2 * n * u * m * cache_k.dtype.itemsize,
+            transcendentals=n * u * (m // d_head),
+        ),
+        interpret=interpret,
+    )(step, q, kh, vh, mask, seg, cache_k, cache_v)
+
+
+def head_segments(d_model: int, nhead: int) -> jax.Array:
+    """(M, H) bf16 one-hot head-segment matrix (constant)."""
+    d_head = d_model // nhead
+    seg = np.zeros((d_model, nhead), np.float32)
+    for h in range(nhead):
+        seg[h * d_head : (h + 1) * d_head, h] = 1.0
+    return jnp.asarray(seg, jnp.bfloat16)
+
+
+def cached_attention_step(
+    q: jax.Array,
+    kh: jax.Array,
+    vh: jax.Array,
+    mask: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    step,
+    layer: int,
+    nhead: int,
+    seg: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One layer's cached single-token attention, cache-in-HBM.
+
+    q/kh/vh: (N, M) the current token's projected heads (flat);
+    mask: (N, U) nonzero = valid key (pad masking; positions > step are
+    masked in-kernel); cache_k/cache_v: (L, N, U, M) stacked caches —
+    only layer ``layer`` and positions <= step are read; step: scalar
+    int32. Returns the (N, M) f32 attention output (heads concatenated,
+    pre-output-projection). The fresh kh/vh REPLACE the cache content at
+    position ``step`` for the in-kernel softmax; writing them back to the
+    cache stays with the caller (one stacked dynamic_update_slice for all
+    layers).
+    """
+    n, m = q.shape
+    if seg is None:
+        seg = head_segments(m, nhead)
+    step = jnp.asarray(step, jnp.int32).reshape((1,))
+    return _attn_step_call(
+        q.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+        mask.astype(jnp.int8), cache_k, cache_v, step, seg,
+        layer=layer, d_head=m // nhead, interpret=interpret,
+    )

