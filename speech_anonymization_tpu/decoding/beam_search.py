@@ -166,7 +166,9 @@ def beam_search(
         fin_len = jnp.where(improved, hyp_len, fin_len)
         fin_score = jnp.where(improved, best_eos_score, fin_score)
 
-        # alive expansion: mask eos, top-k over K*V
+        # alive expansion: mask eos, top-k over K*V. (A two-stage per-beam
+        # top-k was tried and measured SLOWER on v5e: 528 row-sorts of V
+        # cost more than one (B, K*V) sort — 2.8 vs 1.9 ms/step.)
         v = total.shape[-1]
         alive = total.at[:, :, cfg.eos_index].set(NEG_INF)
         flat = alive.reshape(b, k * v)

@@ -99,15 +99,18 @@ def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
 
 def _make_attends(layers, attns, cache, mask_nu, step, nhead):
     """Per-layer ``attend(qh, kh, vh) -> (N, 1, H, D)`` closures for cached
-    decode steps.
+    decode steps, plus ``finalize(khs, vhs) -> (new_k, new_v)``.
 
     On TPU (with kernel-compatible shapes) this is the fused Pallas
     attention-step kernel (ops/pallas/attention_step.py): the stacked
-    cache stays in HBM, only positions <= step are streamed, and — the
-    real win — NO per-layer slice of the cache ever appears in the XLA
-    graph (XLA materializes such slices as full-cache copy+convert
-    fusions: ~8.6 ms/step at the bench shape, BENCHMARKS.md round 2).
-    Elsewhere: MultiHeadAttention.attend_cached on per-layer slices.
+    cache stays in HBM, only positions <= step are streamed, the fresh
+    k/v are written back IN PLACE by the kernel (outputs alias the cache),
+    and — the real win — NO per-layer slice of the cache ever appears in
+    the XLA graph (XLA materializes such slices as full-cache copy+convert
+    fusions: ~8.6 ms/step at the bench shape, BENCHMARKS.md round 2); the
+    cache arrays are threaded through the per-layer calls, so ``finalize``
+    just returns them. Elsewhere: MultiHeadAttention.attend_cached on
+    per-layer slices + one stacked dynamic_update_slice in ``finalize``.
     """
     n, u = mask_nu.shape
     m = cache["k"].shape[-1]
@@ -121,18 +124,22 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         from ..ops.pallas.attention_step import cached_attention_step, head_segments
 
         seg = head_segments(m, nhead)
+        cell = {"k": cache["k"], "v": cache["v"]}
 
         def make(i):
             def attend(qh, kh, vh):
-                out = cached_attention_step(
+                out, cell["k"], cell["v"] = cached_attention_step(
                     qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
-                    mask_nu, cache["k"], cache["v"], step, i, nhead, seg,
+                    mask_nu, cell["k"], cell["v"], step, i, nhead, seg,
                 )
                 return out.reshape(n, 1, nhead, m // nhead)
 
             return attend
 
-        return [make(i) for i in range(len(layers))]
+        def finalize(khs, vhs):
+            return cell["k"], cell["v"]
+
+        return [make(i) for i in range(len(layers))], finalize
 
     self_mask = mask_nu[:, None, None, :]
 
@@ -144,7 +151,16 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
 
         return attend
 
-    return [make_jnp(i, a) for i, a in enumerate(attns)]
+    def finalize_jnp(khs, vhs):
+        new_k = jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0)
+        )
+        return new_k, new_v
+
+    return [make_jnp(i, a) for i, a in enumerate(attns)], finalize_jnp
 
 
 def sinusoidal_positions(max_len: int, d_model: int) -> jnp.ndarray:
@@ -489,7 +505,7 @@ class TransformerASR(nn.Module):
         if src_lengths is not None:
             cross_mask = lengths_to_padding_mask(src_lengths, t)[:, None, None, :]
         mask_nu = tok_buf != self.pad_index
-        attends = _make_attends(
+        attends, finalize = _make_attends(
             self.decoder_layers, [l.self_attn for l in self.decoder_layers],
             cache, mask_nu, step, self.nhead,
         )
@@ -499,12 +515,7 @@ class TransformerASR(nn.Module):
             x, kh, vh = layer.decode_step(x, attends[i], ckv, cross_mask)
             khs.append(kh)
             vhs.append(vh)
-        new_k = jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0)
-        )
-        new_v = jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0)
-        )
+        new_k, new_v = finalize(khs, vhs)
         return x[:, 0], {"k": new_k, "v": new_v, "tokens": tok_buf}
 
 
@@ -556,7 +567,7 @@ class TransformerLM(nn.Module):
             cache["tokens"], token[:, None], step, axis=1
         )
         mask_nu = tok_buf != self.pad_index
-        attends = _make_attends(
+        attends, finalize = _make_attends(
             self.layers, [l.attn for l in self.layers],
             cache, mask_nu, step, self.nhead,
         )
@@ -565,10 +576,5 @@ class TransformerLM(nn.Module):
             x, kh, vh = layer.decode_step(x, attends[i])
             khs.append(kh)
             vhs.append(vh)
-        new_k = jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0)
-        )
-        new_v = jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0)
-        )
+        new_k, new_v = finalize(khs, vhs)
         return self.out(x[:, 0]), {"k": new_k, "v": new_v, "tokens": tok_buf}

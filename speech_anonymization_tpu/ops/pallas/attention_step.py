@@ -47,7 +47,8 @@ NEG_INF = -1e30
 
 
 def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
-            ck_ref, cv_ref, out_ref, ksc, vsc, sems, *, layer, tn, d_head):
+            ck_ref, cv_ref, out_ref, cko_ref, cvo_ref,
+            ksc, vsc, kwb, vwb, sems, *, layer, tn, d_head):
     i = pl.program_id(0)
     row0 = i * tn
     step = step_ref[0]
@@ -85,6 +86,30 @@ def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     u = ksc.shape[1]
     m = ksc.shape[2]
     h = m // d_head
+
+    # ---- cache writeback: this layer's fresh k/v land at position `step`
+    # (outputs alias the cache operands — the XLA stacked DUS this replaces
+    # RMWs whole (8,128) tiles at an unaligned position: ~1.15 ms/step at
+    # the bench shape). The write covers the ALIGNED 8-position block
+    # around `step`: earlier positions repeat the just-read cache bytes,
+    # later ones are junk that is overwritten before it is ever read.
+    t8 = (step // _CU) * _CU
+    pos8 = jax.lax.broadcasted_iota(jnp.int32, (tn, _CU, 1), 1) + t8
+    at8 = pos8 == step
+    kwb[...] = jnp.where(
+        at8, kh_ref[...][:, None, :].astype(kwb.dtype), ksc[:, pl.ds(t8, _CU), :]
+    )
+    vwb[...] = jnp.where(
+        at8, vh_ref[...][:, None, :].astype(vwb.dtype), vsc[:, pl.ds(t8, _CU), :]
+    )
+    wb_k = pltpu.make_async_copy(
+        kwb, cko_ref.at[layer, pl.ds(row0, tn), pl.ds(t8, _CU), :], sems.at[2, 0]
+    )
+    wb_v = pltpu.make_async_copy(
+        vwb, cvo_ref.at[layer, pl.ds(row0, tn), pl.ds(t8, _CU), :], sems.at[2, 1]
+    )
+    wb_k.start()
+    wb_v.start()
     seg = seg_ref[...]  # (M, H) bf16 head-segment one-hot
     # 3-D int32 iota/masks throughout: Mosaic cannot insert a minor dim on
     # i1/i8 vectors, so comparisons are done at their target rank
@@ -122,6 +147,8 @@ def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     ).reshape(tn, u, m)
     out = jnp.sum(wexp * vv, axis=1)                          # (TN, M)
     out_ref[...] = out.astype(out_ref.dtype)
+    wb_k.wait()
+    wb_v.wait()
 
 
 def _pick_tile(n: int) -> int:
@@ -149,17 +176,31 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
+        out_specs=[
+            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         scratch_shapes=[
             pltpu.VMEM((tn, u, m), cache_k.dtype),
             pltpu.VMEM((tn, u, m), cache_v.dtype),
-            pltpu.SemaphoreType.DMA((2, u // _CU)),
+            pltpu.VMEM((tn, _CU, m), cache_k.dtype),
+            pltpu.VMEM((tn, _CU, m), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((3, u // _CU)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_kernel, layer=layer, tn=tn, d_head=d_head),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m), jnp.float32),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # cache operands alias the cache outputs: the kernel updates
+        # position `step` in place (operand indices include the
+        # scalar-prefetch arg at 0)
+        input_output_aliases={6: 1, 7: 2},
         cost_estimate=pl.CostEstimate(
             flops=4 * n * u * m,
             bytes_accessed=2 * n * u * m * cache_k.dtype.itemsize,
@@ -197,11 +238,11 @@ def cached_attention_step(
     mask: (N, U) nonzero = valid key (pad masking; positions > step are
     masked in-kernel); cache_k/cache_v: (L, N, U, M) stacked caches —
     only layer ``layer`` and positions <= step are read; step: scalar
-    int32. Returns the (N, M) f32 attention output (heads concatenated,
-    pre-output-projection). The fresh kh/vh REPLACE the cache content at
-    position ``step`` for the in-kernel softmax; writing them back to the
-    cache stays with the caller (one stacked dynamic_update_slice for all
-    layers).
+    int32. Returns ``(out, new_cache_k, new_cache_v)``: the (N, M) f32
+    attention output (heads concatenated, pre-output-projection) plus the
+    caches with the fresh kh/vh written at position ``step`` of layer
+    ``layer`` IN PLACE (outputs alias the operands — no XLA
+    dynamic_update_slice needed).
     """
     n, m = q.shape
     if seg is None:

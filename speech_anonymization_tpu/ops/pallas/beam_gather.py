@@ -43,20 +43,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DEPTH = 16  # in-flight DMAs; bounds semaphore scratch, hides issue latency
-_CU = 8     # positions per chunk (matches the HBM tiling alignment)
+# positions per chunk. 24-position chunks (bigger contiguous fragments
+# for the random-row access) were tried and measured SLOWER end-to-end:
+# the up-to-cu-1 positions copied past `step` cost more than the larger
+# fragments saved (4.7 vs 4.0 ms/step at the bench shape).
+_CU = 8
 
 
-def _dma_kernel(src_ref, step_ref, in_ref, out_ref, sems):
+def _chunk(u: int) -> int:
+    return _CU
+
+
+def _dma_kernel(src_ref, step_ref, in_ref, out_ref, sems, *, cu):
     n = pl.program_id(0)
     num_rows = pl.num_programs(0)
-    nc = (step_ref[0] + _CU) // _CU  # chunks covering positions <= step
+    nc = (step_ref[0] + cu) // cu  # chunks covering positions <= step
 
     def copy(idx):
         row = idx // nc
         c = idx % nc
         return pltpu.make_async_copy(
-            in_ref.at[:, src_ref[row], pl.ds(c * _CU, _CU)],
-            out_ref.at[:, row, pl.ds(c * _CU, _CU)],
+            in_ref.at[:, src_ref[row], pl.ds(c * cu, cu)],
+            out_ref.at[:, row, pl.ds(c * cu, cu)],
             sems.at[idx % _DEPTH],
         )
 
@@ -88,7 +96,7 @@ def _dma_kernel(src_ref, step_ref, in_ref, out_ref, sems):
 def _gather_rows_dma(a, src, step):
     l, n, u, m = a.shape
     return pl.pallas_call(
-        _dma_kernel,
+        functools.partial(_dma_kernel, cu=_chunk(u)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n,),
