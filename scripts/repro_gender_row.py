@@ -167,12 +167,17 @@ def main():
         ' {"weights": {"recon": 0.0, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
         ' "train": "sex_classifier"}]'
     )
+    # scale-matched optimizer: the reference's Noam(warmup 25000) never
+    # leaves warmup in a few-hundred-step run (lr ~1e-6 -> the AE would
+    # stay at init and privacy would be trivially chance on garbage); raw-Noam
+    # peak lr = lr_adam * d_model^-0.5 * warmup^-0.5 = 0.55*0.0036 ~ 2e-3.
     nb = anonymizer.main(
         [os.path.join(BASE, "convae.yaml")]
         + _common(root, nout)
         + ["--test_csv", f'["{test_csv}"]',
-           "--batch_size", "8", "--number_of_epochs", "6",
+           "--batch_size", "8", "--number_of_epochs", "40",
            "--model_type", "fcae",
+           "--lr_adam", "0.55", "--n_warmup_steps", "100",
            "--adversarial_schedule", schedule,
            "--external_classifier_dir", os.path.join(gout, "save", "ckpts"),
            ]
@@ -181,8 +186,9 @@ def main():
     acc_ext_orig = float(s["ACC_external_orig"])
     acc_ext_anon = float(s["ACC_external"])
     acc_int = float(s["ACC"])
+    recon_cos = float(s["Utility_Retention"])  # recon<->clean feature cosine (no ASR attached)
     print(f"[stage 2] ACC_external orig={acc_ext_orig:.3f} anon={acc_ext_anon:.3f} "
-          f"internal={acc_int:.3f}")
+          f"internal={acc_int:.3f} recon_cos={recon_cos:.3f}")
 
     doc = f"""# Reduced-scale reproduction of the reference research rows
 
@@ -201,13 +207,19 @@ are what is being demonstrated.
 | ACC_external, original features | ~0.96 | **{acc_ext_orig:.3f}** |
 | ACC_external, ANONYMIZED features | 0.39 (fullyconn_updatedsexclassifier_recon0.5_sex0.5, wer_test-clean) | **{acc_ext_anon:.3f}** |
 | Internal (adversary) ACC on anon | — | {acc_int:.3f} |
+| Recon quality: recon-vs-original feature cosine | (reference reports ASR-encoder cosine 0.78 — stronger metric, needs the ported ASR) | {recon_cos:.3f} |
+
+The recon-cosine row guards against the trivial outcome (an untrained AE
+outputs garbage, which also scores chance ACC): anonymization only means
+something if reconstruction is simultaneously good.
 
 Commands (deterministic, CPU):
 
     python scripts/repro_gender_row.py
 
 (recipe chain: gender_classifier.yaml 8 epochs -> convae.yaml fcae,
-adversarial schedule recon0.5/sex0.5 + sex_classifier phase, 6 epochs,
+adversarial schedule recon0.5/sex0.5 + sex_classifier phase, 40 epochs
+(lr_adam 0.55, n_warmup_steps 100 -> peak lr ~2e-3 at this step count),
 external evaluator from stage 1; disjoint test speakers throughout.)
 """
     with open(os.path.join(REPO, "EXPERIMENTS.md"), "w") as f:
