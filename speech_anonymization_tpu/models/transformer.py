@@ -11,9 +11,9 @@ Reference configuration (convae.yaml:139-173, transformer.yaml:128-164):
 
 TPU notes: everything is static-shape with explicit padding masks derived
 from relative lengths; attention uses additive -inf masking; dropout is 0.0
-in the reference configs, kept as a parameter. bfloat16-friendly: pass
-``compute_dtype=jnp.bfloat16`` to run matmuls on the MXU's native dtype
-while keeping f32 params/softmax.
+in the reference configs, kept as a parameter. The beam-decode hot path
+runs on fused Pallas kernels with bf16 caches (ops/pallas/); training
+matmuls use the TPU default (bf16-pass) precision on f32 params.
 """
 
 from __future__ import annotations
