@@ -36,6 +36,7 @@ from .ctc_prefix import (
     ctc_score_candidates_prepared,
     mask_ctc_log_probs,
 )
+from .topk import fast_top_k
 
 NEG_INF = -1e30
 
@@ -166,13 +167,14 @@ def beam_search(
         fin_len = jnp.where(improved, hyp_len, fin_len)
         fin_score = jnp.where(improved, best_eos_score, fin_score)
 
-        # alive expansion: mask eos, top-k over K*V. (A two-stage per-beam
-        # top-k was tried and measured SLOWER on v5e: 528 row-sorts of V
-        # cost more than one (B, K*V) sort — 2.8 vs 1.9 ms/step.)
+        # alive expansion: mask eos, exact top-k over K*V via the certified
+        # approx shortlist (decoding/topk.py — a plain lax.top_k lowers to
+        # a monolithic sort, 1.9 ms/step at beam 66; a two-stage per-beam
+        # top-k was tried and measured even slower, 2.8 ms/step).
         v = total.shape[-1]
         alive = total.at[:, :, cfg.eos_index].set(NEG_INF)
         flat = alive.reshape(b, k * v)
-        top_val, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+        top_val, top_idx = fast_top_k(flat, k)  # (B, K)
         parent = top_idx // v
         token = (top_idx % v).astype(jnp.int32)
         # full score (att+lm+ctc_weight*psi) of the best alive beam — used
