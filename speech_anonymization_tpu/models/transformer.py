@@ -112,6 +112,8 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
     just returns them. Elsewhere: MultiHeadAttention.attend_cached on
     per-layer slices + one stacked dynamic_update_slice in ``finalize``.
     """
+    from ..ops.pallas.attention_step import max_u_for_kernel
+
     n, u = mask_nu.shape
     m = cache["k"].shape[-1]
     use_kernel = (
@@ -119,6 +121,9 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         and m % 128 == 0
         and u % 8 == 0
         and n % 8 == 0
+        # long-utterance decodes exceed the kernel's VMEM row tile; the
+        # jnp path (slower but unbounded) takes over
+        and u <= max_u_for_kernel(m, cache["k"].dtype.itemsize)
     )
     if use_kernel:
         from ..ops.pallas.attention_step import cached_attention_step, head_segments

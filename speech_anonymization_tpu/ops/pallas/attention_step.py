@@ -151,11 +151,20 @@ def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     wb_v.wait()
 
 
-def _pick_tile(n: int) -> int:
+_VMEM_BUDGET = 10 * 2**20  # k+v scratch tiles together
+
+
+def max_u_for_kernel(m: int, itemsize: int) -> int:
+    """Largest cache length U the kernel can hold in VMEM at the minimum
+    row tile (callers fall back to the jnp path beyond this)."""
+    return _VMEM_BUDGET // (2 * 8 * m * itemsize)
+
+
+def _pick_tile(n: int, u: int, m: int, itemsize: int) -> int:
     for tn in (32, 16, 24, 48, 8):
-        if n % tn == 0:
+        if n % tn == 0 and 2 * tn * u * m * itemsize <= _VMEM_BUDGET:
             return tn
-    return n
+    return 8 if n % 8 == 0 else n
 
 
 @functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
@@ -163,7 +172,7 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
                     layer, d_head, interpret=False):
     n, m = q.shape
     l, _, u, _ = cache_k.shape
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, u, m, cache_k.dtype.itemsize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tn,),
