@@ -29,9 +29,9 @@ class _Tok:
 
 
 B = int(os.environ.get("DEC_B", "8"))
-SECONDS = 5.0
-T_FEATS = 500  # 5 s at 10 ms hop
-STEPS = 64
+SECONDS = float(os.environ.get("DEC_SECONDS", "5.0"))
+T_FEATS = int(SECONDS * 100)  # 10 ms hop
+STEPS = int(os.environ.get("DEC_STEPS", "64"))
 
 hparams = {
     "test_beam_size": 66,
