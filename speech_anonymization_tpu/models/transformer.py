@@ -60,12 +60,18 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
     lane axis; attention steps view heads via a free bitcast.
     """
     u_max = -(-u_max // 8) * 8
-    return {
+    cache = {
         "k": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         "v": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         # init to pad so un-written positions are masked like the full path
         "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
     }
+    if dtype == jnp.int8:
+        # symmetric per-(layer, row, position) dequant scales (quantized
+        # serving mode — halves the cache bytes that dominate decode)
+        cache["k_scale"] = jnp.zeros((num_layers, batch, u_max), jnp.float32)
+        cache["v_scale"] = jnp.zeros((num_layers, batch, u_max), jnp.float32)
+    return cache
 
 
 def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
@@ -94,7 +100,11 @@ def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
     toks = jnp.take_along_axis(
         tokens.reshape(b, k, u), parent[:, :, None], axis=1
     ).reshape(n, u)
-    return {"k": perm(cache["k"]), "v": perm(cache["v"]), "tokens": toks}
+    out = {"k": perm(cache["k"]), "v": perm(cache["v"]), "tokens": toks}
+    for key in ("k_scale", "v_scale"):
+        if key in cache:  # (L, N, U) — small, a plain gather suffices
+            out[key] = jnp.take(cache[key], src, axis=1)
+    return out
 
 
 def _make_attends(layers, attns, cache, mask_nu, step, nhead):
@@ -125,24 +135,41 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         # jnp path (slower but unbounded) takes over
         and u <= max_u_for_kernel(m, cache["k"].dtype.itemsize)
     )
+    quant = "k_scale" in cache
     if use_kernel:
         from ..ops.pallas.attention_step import cached_attention_step, head_segments
 
         seg = head_segments(m, nhead)
-        cell = {"k": cache["k"], "v": cache["v"]}
+        cell = dict(cache)
 
         def make(i):
             def attend(qh, kh, vh):
-                out, cell["k"], cell["v"] = cached_attention_step(
+                scales = (
+                    {"k_scale": cell["k_scale"][i], "v_scale": cell["v_scale"][i]}
+                    if quant else {}
+                )
+                res = cached_attention_step(
                     qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
                     mask_nu, cell["k"], cell["v"], step, i, nhead, seg,
+                    **scales,
                 )
+                if quant:
+                    out, cell["k"], cell["v"], kso, vso = res
+                    # fresh position's scales -> (L, N, U) arrays
+                    cell["k_scale"] = jax.lax.dynamic_update_slice(
+                        cell["k_scale"], kso[:, 0].reshape(1, n, 1), (i, 0, step)
+                    )
+                    cell["v_scale"] = jax.lax.dynamic_update_slice(
+                        cell["v_scale"], vso[:, 0].reshape(1, n, 1), (i, 0, step)
+                    )
+                else:
+                    out, cell["k"], cell["v"] = res
                 return out.reshape(n, 1, nhead, m // nhead)
 
             return attend
 
         def finalize(khs, vhs):
-            return cell["k"], cell["v"]
+            return {key: cell[key] for key in cache if key != "tokens"}
 
         return [make(i) for i in range(len(layers))], finalize
 
@@ -150,20 +177,41 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
 
     def make_jnp(i, attn):
         def attend(qh, kh, vh):
+            scales = (
+                (cache["k_scale"][i], cache["v_scale"][i]) if quant else (None, None)
+            )
             return attn.attend_cached(
-                qh, kh, vh, cache["k"][i], cache["v"][i], self_mask, step
+                qh, kh, vh, cache["k"][i], cache["v"][i], self_mask, step,
+                k_scale=scales[0], v_scale=scales[1],
             )
 
         return attend
 
     def finalize_jnp(khs, vhs):
-        new_k = jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(khs).astype(cache["k"].dtype), (0, 0, step, 0)
+        ks = jnp.stack(khs)  # (L, N, 1, M) f32
+        vs = jnp.stack(vhs)
+        out = {}
+        if quant:
+            k_amax = jnp.maximum(jnp.max(jnp.abs(ks), axis=-1, keepdims=True), 1e-6)
+            v_amax = jnp.maximum(jnp.max(jnp.abs(vs), axis=-1, keepdims=True), 1e-6)
+            kq = jnp.clip(jnp.round(ks * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+            vq = jnp.clip(jnp.round(vs * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+            out["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, step, 0))
+            out["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, step, 0))
+            out["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], (k_amax / 127.0)[:, :, :, 0], (0, 0, step)
+            )
+            out["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], (v_amax / 127.0)[:, :, :, 0], (0, 0, step)
+            )
+            return out
+        out["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], ks.astype(cache["k"].dtype), (0, 0, step, 0)
         )
-        new_v = jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(vhs).astype(cache["v"].dtype), (0, 0, step, 0)
+        out["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], vs.astype(cache["v"].dtype), (0, 0, step, 0)
         )
-        return new_k, new_v
+        return out
 
     return [make_jnp(i, a) for i, a in enumerate(attns)], finalize_jnp
 
@@ -245,7 +293,8 @@ class MultiHeadAttention(nn.Module):
         )
         return self.out_proj(out.reshape(q.shape[0], 1, self.nhead, d_head))
 
-    def attend_cached(self, qh, kh, vh, k_buf, v_buf, mask, step):
+    def attend_cached(self, qh, kh, vh, k_buf, v_buf, mask, step,
+                      k_scale=None, v_scale=None):
         """jnp (off-TPU) cached attention context — the reference math for
         ops/pallas/attention_step.py's fused kernel.
 
@@ -258,6 +307,9 @@ class MultiHeadAttention(nn.Module):
         """
         d_head = self.d_model // self.nhead
         n, u_max, m = k_buf.shape
+        if k_scale is not None:  # int8 cache: dequant (scales (N, U) f32)
+            k_buf = k_buf.astype(jnp.float32) * k_scale[:, :, None]
+            v_buf = v_buf.astype(jnp.float32) * v_scale[:, :, None]
         kb = k_buf.reshape(n, u_max, self.nhead, d_head)
         vb = v_buf.reshape(n, u_max, self.nhead, d_head)
         # cast the single-token operand to the cache dtype (bf16 caches then
@@ -520,8 +572,7 @@ class TransformerASR(nn.Module):
             x, kh, vh = layer.decode_step(x, attends[i], ckv, cross_mask)
             khs.append(kh)
             vhs.append(vh)
-        new_k, new_v = finalize(khs, vhs)
-        return x[:, 0], {"k": new_k, "v": new_v, "tokens": tok_buf}
+        return x[:, 0], {**finalize(khs, vhs), "tokens": tok_buf}
 
 
 class TransformerLM(nn.Module):
@@ -581,5 +632,4 @@ class TransformerLM(nn.Module):
             x, kh, vh = layer.decode_step(x, attends[i])
             khs.append(kh)
             vhs.append(vh)
-        new_k, new_v = finalize(khs, vhs)
-        return self.out(x[:, 0]), {"k": new_k, "v": new_v, "tokens": tok_buf}
+        return self.out(x[:, 0]), {**finalize(khs, vhs), "tokens": tok_buf}

@@ -47,8 +47,17 @@ NEG_INF = -1e30
 
 
 def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
-            ck_ref, cv_ref, out_ref, cko_ref, cvo_ref,
-            ksc, vsc, kwb, vwb, sems, *, layer, tn, d_head):
+            *rest, layer, tn, d_head, quant):
+    # operand tail differs by mode:
+    #   bf16/f32: ck, cv | out, cko, cvo | scratch...
+    #   int8:     ksl, vsl, ck, cv | out, cko, cvo, kso, vso | scratch...
+    if quant:
+        (ksl_ref, vsl_ref, ck_ref, cv_ref,
+         out_ref, cko_ref, cvo_ref, kso_ref, vso_ref,
+         ksc, vsc, kwb, vwb, sems) = rest
+    else:
+        (ck_ref, cv_ref, out_ref, cko_ref, cvo_ref,
+         ksc, vsc, kwb, vwb, sems) = rest
     i = pl.program_id(0)
     row0 = i * tn
     step = step_ref[0]
@@ -96,12 +105,26 @@ def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     t8 = (step // _CU) * _CU
     pos8 = jax.lax.broadcasted_iota(jnp.int32, (tn, _CU, 1), 1) + t8
     at8 = pos8 == step
-    kwb[...] = jnp.where(
-        at8, kh_ref[...][:, None, :].astype(kwb.dtype), ksc[:, pl.ds(t8, _CU), :]
-    )
-    vwb[...] = jnp.where(
-        at8, vh_ref[...][:, None, :].astype(vwb.dtype), vsc[:, pl.ds(t8, _CU), :]
-    )
+    if quant:
+        # symmetric per-row int8: scale = max|x|/127, stored f32 (DUSed into
+        # the (L, N, U) scale arrays by the caller from kso/vso)
+        kh_f = kh_ref[...].astype(jnp.float32)
+        vh_f = vh_ref[...].astype(jnp.float32)
+        k_amax = jnp.maximum(jnp.max(jnp.abs(kh_f), axis=1, keepdims=True), 1e-6)
+        v_amax = jnp.maximum(jnp.max(jnp.abs(vh_f), axis=1, keepdims=True), 1e-6)
+        kq = jnp.clip(jnp.round(kh_f * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vh_f * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+        kso_ref[...] = jnp.broadcast_to(k_amax * (1.0 / 127.0), kso_ref.shape)
+        vso_ref[...] = jnp.broadcast_to(v_amax * (1.0 / 127.0), vso_ref.shape)
+        kwb[...] = jnp.where(at8, kq[:, None, :], ksc[:, pl.ds(t8, _CU), :])
+        vwb[...] = jnp.where(at8, vq[:, None, :], vsc[:, pl.ds(t8, _CU), :])
+    else:
+        kwb[...] = jnp.where(
+            at8, kh_ref[...][:, None, :].astype(kwb.dtype), ksc[:, pl.ds(t8, _CU), :]
+        )
+        vwb[...] = jnp.where(
+            at8, vh_ref[...][:, None, :].astype(vwb.dtype), vsc[:, pl.ds(t8, _CU), :]
+        )
     wb_k = pltpu.make_async_copy(
         kwb, cko_ref.at[layer, pl.ds(row0, tn), pl.ds(t8, _CU), :], sems.at[2, 0]
     )
@@ -123,10 +146,14 @@ def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     # sublane store would need 8-aligned indices, which step is not);
     # invalid positions are zeroed: the un-DMAed scratch region is
     # uninitialized and 0 * NaN would poison the weighted value sum
-    kk = jnp.where(at_step, kh_ref[...][:, None, :].astype(jnp.bfloat16),
-                   ksc[...].astype(jnp.bfloat16))             # (TN, U, M)
-    vv = jnp.where(at_step, vh_ref[...][:, None, :].astype(jnp.float32),
-                   vsc[...].astype(jnp.float32))              # (TN, U, M)
+    if quant:
+        kd = ksc[...].astype(jnp.bfloat16) * ksl_ref[...][:, :, None].astype(jnp.bfloat16)
+        vd = vsc[...].astype(jnp.float32) * vsl_ref[...][:, :, None]
+    else:
+        kd = ksc[...].astype(jnp.bfloat16)
+        vd = vsc[...].astype(jnp.float32)
+    kk = jnp.where(at_step, kh_ref[...][:, None, :].astype(jnp.bfloat16), kd)
+    vv = jnp.where(at_step, vh_ref[...][:, None, :].astype(jnp.float32), vd)
     vv = jnp.where(valid | at_step, vv, 0.0)
 
     q = q_ref[...].astype(jnp.bfloat16)                       # (TN, M)
@@ -169,27 +196,44 @@ def _pick_tile(n: int, u: int, m: int, itemsize: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
 def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
-                    layer, d_head, interpret=False):
+                    layer, d_head, interpret=False, k_scale=None, v_scale=None):
     n, m = q.shape
     l, _, u, _ = cache_k.shape
+    quant = cache_k.dtype == jnp.int8
     tn = _pick_tile(n, u, m, cache_k.dtype.itemsize)
+    row_spec = pl.BlockSpec((tn, m), lambda i, s: (i, 0))
+    ul_spec = pl.BlockSpec((tn, u), lambda i, s: (i, 0))
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [
+        row_spec, row_spec, row_spec, ul_spec,
+        pl.BlockSpec((m, m // d_head), lambda i, s: (0, 0)),
+    ]
+    out_specs = [row_spec, any_spec, any_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, m), jnp.float32),
+        jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+    ]
+    operands = [step, q, kh, vh, mask, seg]
+    if quant:
+        in_specs += [ul_spec, ul_spec]  # per-(row, position) dequant scales
+        operands += [k_scale, v_scale]
+        sc_spec = pl.BlockSpec((tn, 128), lambda i, s: (i, 0))
+        out_specs += [sc_spec, sc_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        ]
+        aliases = {8: 1, 9: 2}
+    else:
+        aliases = {6: 1, 7: 2}
+    in_specs += [any_spec, any_spec]
+    operands += [cache_k, cache_v]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tn,),
-        in_specs=[
-            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
-            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
-            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
-            pl.BlockSpec((tn, u), lambda i, s: (i, 0)),
-            pl.BlockSpec((m, m // d_head), lambda i, s: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((tn, m), lambda i, s: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tn, u, m), cache_k.dtype),
             pltpu.VMEM((tn, u, m), cache_v.dtype),
@@ -199,24 +243,20 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, layer=layer, tn=tn, d_head=d_head),
+        functools.partial(_kernel, layer=layer, tn=tn, d_head=d_head, quant=quant),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n, m), jnp.float32),
-            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
-            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
-        ],
+        out_shape=out_shape,
         # cache operands alias the cache outputs: the kernel updates
         # position `step` in place (operand indices include the
         # scalar-prefetch arg at 0)
-        input_output_aliases={6: 1, 7: 2},
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=4 * n * u * m,
             bytes_accessed=2 * n * u * m * cache_k.dtype.itemsize,
             transcendentals=n * u * (m // d_head),
         ),
         interpret=interpret,
-    )(step, q, kh, vh, mask, seg, cache_k, cache_v)
+    )(*operands)
 
 
 def head_segments(d_model: int, nhead: int) -> jax.Array:
@@ -240,6 +280,8 @@ def cached_attention_step(
     nhead: int,
     seg: jax.Array | None = None,
     interpret: bool = False,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """One layer's cached single-token attention, cache-in-HBM.
 
@@ -252,6 +294,11 @@ def cached_attention_step(
     caches with the fresh kh/vh written at position ``step`` of layer
     ``layer`` IN PLACE (outputs alias the operands — no XLA
     dynamic_update_slice needed).
+
+    With int8 caches, pass ``k_scale``/``v_scale`` as the per-layer
+    (N, U) f32 dequant scales; two extra outputs (N, 128) carry the fresh
+    position's scales (column 0; the caller updates the (L, N, U) scale
+    arrays).
     """
     n, m = q.shape
     if seg is None:
@@ -261,4 +308,5 @@ def cached_attention_step(
         q.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
         mask.astype(jnp.int8), cache_k, cache_v, step, seg,
         layer=layer, d_head=m // nhead, interpret=interpret,
+        k_scale=k_scale, v_scale=v_scale,
     )

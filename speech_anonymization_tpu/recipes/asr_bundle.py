@@ -97,13 +97,13 @@ class ASRBundle:
             # the shared (B, T, H, D) memory instead of repeating it per
             # beam (the repeat made each step read ~beam x more HBM)
             cross = self.model.apply(variables, enc, method=ASRModel.cross_kv)
-            # bf16 caches halve decode HBM traffic; 'float32' restores the
-            # bit-exact path (hypothesis parity test covers the difference)
-            cache_dtype = (
-                jnp.bfloat16
-                if self.hparams.get("decode_cache_dtype", "bfloat16") == "bfloat16"
-                else jnp.float32
-            )
+            # bf16 caches halve decode HBM traffic; 'int8' halves again
+            # (quantized serving mode, ~quant-noise score shift); 'float32'
+            # restores the bit-exact path (hypothesis parity tests cover
+            # the differences)
+            cache_dtype = {
+                "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
+            }[self.hparams.get("decode_cache_dtype", "bfloat16")]
 
             att_cached = (
                 lambda n, u_max: make_kv_cache(

@@ -180,11 +180,13 @@ class ASRBrain(Brain):
             m = self.model
             # memory K/V stay at the batch level; decode_step groups beams
             cross = self.model.apply(variables, enc, method=ASRModel.cross_kv)
-            cache_dtype = (
-                jnp.bfloat16
-                if self.hparams.get("decode_cache_dtype", "bfloat16") == "bfloat16"
-                else jnp.float32
-            )
+            # bf16 caches halve decode HBM traffic; 'int8' halves again
+            # (quantized serving mode, ~quant-noise score shift); 'float32'
+            # restores the bit-exact path (hypothesis parity tests cover
+            # the differences)
+            cache_dtype = {
+                "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
+            }[self.hparams.get("decode_cache_dtype", "bfloat16")]
             att_cached = (
                 lambda n, u_max: make_kv_cache(
                     n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead,

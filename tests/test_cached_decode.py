@@ -142,3 +142,32 @@ def test_lm_decode_step_matches_full():
         np.testing.assert_allclose(
             np.asarray(logits), np.asarray(full[:, step]), atol=2e-4
         )
+
+
+def test_beam_search_int8_cache_matches_f32_on_toy_model():
+    """int8 decode caches (quantized serving mode) must reproduce the f32
+    hypotheses on the toy model; scores shift by quantization noise."""
+    model, variables, enc, lens = _setup()
+    ctc_logits = model.apply(variables, enc, method=lambda m, e: m.heads.ctc_logits(e))
+    p_ctc = jax.nn.log_softmax(ctc_logits, -1)
+    cfg = BeamSearchConfig(beam_size=3, ctc_weight=0.4, length_normalization=True)
+    from speech_anonymization_tpu.models.transformer import beam_reorder_cache
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.int8):
+        att_cached = (
+            lambda n, u_max: make_kv_cache(
+                n, u_max, SMALL["num_decoder_layers"], SMALL["nhead"],
+                SMALL["d_model"] // SMALL["nhead"], dtype=dtype,
+            ),
+            lambda state, prev, step: model.apply(
+                variables, prev, enc, state, step, lens, method=ASRModel.decode_step_cached
+            ),
+            beam_reorder_cache,
+        )
+        outs[dtype] = beam_search(None, enc, lens, p_ctc, cfg, max_steps=5,
+                                  att_cached=att_cached)
+    assert hyps_to_lists(*outs[jnp.float32][:2]) == hyps_to_lists(*outs[jnp.int8][:2])
+    np.testing.assert_allclose(
+        np.asarray(outs[jnp.float32][2]), np.asarray(outs[jnp.int8][2]), atol=0.15
+    )
