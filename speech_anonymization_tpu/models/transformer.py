@@ -133,7 +133,9 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         and n % 8 == 0
         # long-utterance decodes exceed the kernel's VMEM row tile; the
         # jnp path (slower but unbounded) takes over
-        and u <= max_u_for_kernel(m, cache["k"].dtype.itemsize)
+        # int8 caches still materialize bf16/f32 dequant temps in VMEM,
+        # so the bound uses the bf16 footprint for them too
+        and u <= max_u_for_kernel(m, max(cache["k"].dtype.itemsize, 2))
     )
     quant = "k_scale" in cache
     if use_kernel:

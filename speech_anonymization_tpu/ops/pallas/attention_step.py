@@ -200,7 +200,7 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
     n, m = q.shape
     l, _, u, _ = cache_k.shape
     quant = cache_k.dtype == jnp.int8
-    tn = _pick_tile(n, u, m, cache_k.dtype.itemsize)
+    tn = _pick_tile(n, u, m, max(cache_k.dtype.itemsize, 2))
     row_spec = pl.BlockSpec((tn, m), lambda i, s: (i, 0))
     ul_spec = pl.BlockSpec((tn, u), lambda i, s: (i, 0))
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
