@@ -55,14 +55,20 @@ def main():
         # inference path skips the adversarial classifier head
         return model.apply(variables, feats, method=ConvAutoencoder.anonymize)
 
+    # IMPORTANT: jax.block_until_ready does NOT block under the axon
+    # tunnel (BENCHMARKS.md round 2) — completion must be forced by a host
+    # transfer. A tiny dependent slice keeps the transfer itself (~4 bytes)
+    # out of the measurement while still waiting for the full computation:
+    # programs execute in order on the chip, so the last iteration's slice
+    # arriving implies every queued iteration finished.
     out = anonymize(wavs, lens)
-    out.block_until_ready()
+    np.asarray(out[0, 0, :1])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = anonymize(wavs, lens)
-    out.block_until_ready()
+    np.asarray(out[0, 0, :1])
     dt = (time.perf_counter() - t0) / iters
 
     rtf = audio_seconds / dt

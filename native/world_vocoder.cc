@@ -383,8 +383,15 @@ void synthesize(const Frames& fr, int sr, long long n_out, float* out) {
   double pos = 0.0;
   while (pos < (double)n_out) {
     double f0 = interp_f0(fr, pos);
-    bool voiced = f0 > 0.0;
+    // Caller-supplied f0 tracks (world_synthesize is exposed via ctypes)
+    // can hold NaN/Inf/absurd values; clamp to a sane voiced range so
+    // `period` stays positive and finite — otherwise `pos += period`
+    // stalls and the loop never terminates, hanging the host data
+    // pipeline.
+    bool voiced = std::isfinite(f0) && f0 > 0.0;
+    if (voiced) f0 = std::fmin(std::fmax(f0, 20.0), sr / 4.0);
     double period = voiced ? sr / f0 : (double)fr.hop;
+    if (!(period >= 1.0)) period = std::fmax(1.0, (double)fr.hop);
     interp_frame(fr, fr.sp, pos, sp_t.data());
     interp_frame(fr, fr.ap, pos, ap_t.data());
     long long at = (long long)pos;

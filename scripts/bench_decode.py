@@ -44,8 +44,11 @@ hparams = {
     "eos_index": 2,
     "blank_index": 0,
 }
-if os.environ.get("DEC_CACHE_DTYPE"):
-    hparams["decode_cache_dtype"] = os.environ["DEC_CACHE_DTYPE"]
+# benches measure the serving configuration: bf16 caches by default
+# (the recipe default is float32 for reference score parity)
+hparams["decode_cache_dtype"] = os.environ.get("DEC_CACHE_DTYPE", "bfloat16")
+# surface the certified top-k fallback counter (DEC_STATS=0 to disable)
+hparams["decode_return_stats"] = os.environ.get("DEC_STATS", "1") == "1"
 USE_LM = os.environ.get("DEC_LM", "1") == "1"
 
 print(f"devices: {jax.devices()}  B={B} beam=66 steps={STEPS} lm={USE_LM}")
@@ -66,15 +69,21 @@ bundle = ASRBundle(model, variables, _Tok(), hparams, lm=lm, lm_variables=lm_var
 feats = jax.random.normal(jax.random.PRNGKey(2), (B, T_FEATS, 80))
 lens = jnp.ones((B,))
 
+def _unpack(res):
+    if len(res) == 4:
+        return res
+    return (*res, None)
+
+
 t0 = time.perf_counter()
-toks, lengths, scores = bundle._decode_test(feats, lens)
+toks, lengths, scores, stats = _unpack(bundle._decode_test(feats, lens))
 np.asarray(scores)
 print(f"compile+first run: {time.perf_counter()-t0:.1f} s", flush=True)
 
 reps = 3
 t0 = time.perf_counter()
 for _ in range(reps):
-    toks, lengths, scores = bundle._decode_test(feats, lens)
+    toks, lengths, scores, stats = _unpack(bundle._decode_test(feats, lens))
 out = np.asarray(scores)
 dt = (time.perf_counter() - t0) / reps
 
@@ -82,3 +91,6 @@ audio_s = B * SECONDS
 print(f"decode: {dt*1e3:.0f} ms/batch  {dt/STEPS*1e3:.2f} ms/step  "
       f"RTF {audio_s/dt:.1f}x realtime", flush=True)
 print("lengths:", np.asarray(lengths), " scores:", out[:4])
+if stats is not None:
+    print(f"certified top-k fallbacks: {int(np.asarray(stats['topk_fallbacks']))}"
+          f"/{stats['steps']} steps", flush=True)

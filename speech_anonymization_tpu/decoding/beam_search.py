@@ -36,7 +36,7 @@ from .ctc_prefix import (
     ctc_score_candidates_prepared,
     mask_ctc_log_probs,
 )
-from .topk import fast_top_k
+from .topk import fast_top_k_counted
 
 NEG_INF = -1e30
 
@@ -66,8 +66,12 @@ def beam_search(
     max_steps: int | None = None,
     att_cached: tuple | None = None,
     lm_cached: tuple | None = None,
+    return_stats: bool = False,
 ):
-    """Decode. Returns (tokens (B, U_max), lengths (B,), scores (B,)).
+    """Decode. Returns (tokens (B, U_max), lengths (B,), scores (B,)); with
+    ``return_stats`` a 4th element: {'topk_fallbacks': int32 scalar — decode
+    steps whose certified-approx top-k certificate failed and ran the exact
+    sort (decoding/topk.py), 'steps': total decode steps}.
 
     Two decoder interfaces:
       * full-prefix: ``att_step_fn(tokens (N, U_max), step) -> (N, V)``
@@ -121,7 +125,7 @@ def beam_search(
 
     def step_fn(carry, step):
         (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len,
-         best_total, att_state, lm_state) = carry
+         best_total, n_fallback, att_state, lm_state) = carry
         flat_tokens = flatten(tokens)  # (B*K, U_max)
         prev_token = flat_tokens[jnp.arange(b * k), step]  # last committed
 
@@ -174,7 +178,8 @@ def beam_search(
         v = total.shape[-1]
         alive = total.at[:, :, cfg.eos_index].set(NEG_INF)
         flat = alive.reshape(b, k * v)
-        top_val, top_idx = fast_top_k(flat, k)  # (B, K)
+        top_val, top_idx, fell_back = fast_top_k_counted(flat, k)  # (B, K)
+        n_fallback = n_fallback + fell_back
         parent = top_idx // v
         token = (top_idx % v).astype(jnp.int32)
         # full score (att+lm+ctc_weight*psi) of the best alive beam — used
@@ -204,8 +209,15 @@ def beam_search(
             new_ctc = ctc_state
         # reorder decoder caches to the new beam order (custom reorder_fn
         # when provided — Pallas DMA gather of positions <= step — else a
-        # row gather)
-        reorder = lambda tree: jax.tree_util.tree_map(lambda a: a[flat_parent], tree)
+        # row gather). In the fallback the beam-row axis depends on leaf
+        # rank: make_kv_cache stacks layers leading, so (L, N, U, M) k/v
+        # and (L, N, U) scale leaves carry rows on axis 1, while 2-D
+        # leaves (tokens, plain per-row state) carry rows on axis 0.
+        def _gather_leaf(a):
+            axis = 1 if a.ndim >= 3 else 0
+            return jnp.take(a, flat_parent, axis=axis)
+
+        reorder = lambda tree: jax.tree_util.tree_map(_gather_leaf, tree)
         if att_cached is not None:
             att_state = (
                 att_cached[2](att_state, parent, step) if len(att_cached) > 2
@@ -219,12 +231,12 @@ def beam_search(
 
         return (
             new_tokens, new_acc, new_ctc, fin_score, fin_tokens, fin_len,
-            best_total, att_state, lm_state
+            best_total, n_fallback, att_state, lm_state
         ), None
 
     best_total0 = jnp.full((b,), NEG_INF)
     carry = (tokens, acc, ctc_state, fin_score, fin_tokens, fin_len,
-             best_total0, att_state0, lm_state0)
+             best_total0, jnp.zeros((), jnp.int32), att_state0, lm_state0)
 
     # two decode steps per scan iteration: XLA pins each while-loop carry
     # element to ONE buffer, so a cache that ping-pongs through the Pallas
@@ -240,7 +252,7 @@ def beam_search(
     carry, _ = jax.lax.scan(double_step, carry, jnp.arange(max_steps // 2))
     if max_steps % 2:
         carry, _ = step_fn(carry, jnp.asarray(max_steps - 1, jnp.int32))
-    tokens, acc, _, fin_score, fin_tokens, fin_len, best_total = carry[:7]
+    tokens, acc, _, fin_score, fin_tokens, fin_len, best_total, n_fallback = carry[:8]
 
     # fall back to best alive when nothing finished — score uses the last
     # step's FULL total (incl. CTC) normalized by (max_steps + 1), matching
@@ -254,6 +266,9 @@ def beam_search(
     out_len = jnp.where(none_finished, max_steps, fin_len)
     out_score = jnp.where(none_finished, best_alive_score, fin_score)
     # strip bos: emitted tokens start at column 1
+    if return_stats:
+        stats = {"topk_fallbacks": n_fallback, "steps": max_steps}
+        return out_tokens[:, 1:], out_len, out_score, stats
     return out_tokens[:, 1:], out_len, out_score
 
 

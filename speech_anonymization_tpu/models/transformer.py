@@ -314,6 +314,16 @@ class MultiHeadAttention(nn.Module):
             v_buf = v_buf.astype(jnp.float32) * v_scale[:, :, None]
         kb = k_buf.reshape(n, u_max, self.nhead, d_head)
         vb = v_buf.reshape(n, u_max, self.nhead, d_head)
+        # Positions >= step are UNDEFINED after a beam reorder
+        # (beam_gather_rows only copies positions <= step, and position
+        # ``step`` itself is stale even then). Zero them BEFORE the value
+        # einsum: a softmax weight of 0 does not protect against 0*Inf/NaN
+        # garbage, and the additive stale-value correction below relies on
+        # exact cancellation that fails for non-finite stale bytes. The
+        # Pallas kernel zeroes vv for the same reason; the fresh token's
+        # value contribution is added explicitly at the end, in f32.
+        pos_v = jnp.arange(u_max)[None, :, None, None]  # (1, U, 1, 1)
+        vb = jnp.where(pos_v < step, vb, jnp.zeros_like(vb))
         # cast the single-token operand to the cache dtype (bf16 caches then
         # feed the MXU natively instead of materializing an f32 copy of the
         # whole buffer); accumulate in f32
@@ -334,12 +344,10 @@ class MultiHeadAttention(nn.Module):
             "bhqk,bkhd->bqhd", weights.astype(v_buf.dtype), vb,
             preferred_element_type=jnp.float32,
         )
-        # replace the stale value contribution at position `step` with vh
+        # position `step` was zeroed above; add the fresh token's value
+        # contribution directly (no stale-value cancellation needed)
         w_step = jax.lax.dynamic_slice_in_dim(weights, step, 1, axis=3)  # (N,H,1,1)
-        v_stale = jax.lax.dynamic_slice_in_dim(vb, step, 1, axis=1)  # (N,1,H,D)
-        return out + jnp.transpose(w_step, (0, 2, 1, 3)) * (
-            vh - v_stale.astype(vh.dtype)
-        )
+        return out + jnp.transpose(w_step, (0, 2, 1, 3)) * vh
 
     def __call__(self, q, kv, mask=None, train: bool = False):
         """Full (non-incremental) attention."""

@@ -97,13 +97,14 @@ class ASRBundle:
             # the shared (B, T, H, D) memory instead of repeating it per
             # beam (the repeat made each step read ~beam x more HBM)
             cross = self.model.apply(variables, enc, method=ASRModel.cross_kv)
-            # bf16 caches halve decode HBM traffic; 'int8' halves again
-            # (quantized serving mode, ~quant-noise score shift); 'float32'
-            # restores the bit-exact path (hypothesis parity tests cover
-            # the differences)
+            # default float32 = bit-stable scores, matching the reference's
+            # f32 torch decode; serving/benchmarks opt into 'bfloat16'
+            # (halves cache HBM traffic) or 'int8' (quantized serving,
+            # halves again) via the decode_cache_dtype hparam — hypothesis
+            # parity across dtypes is covered by tests/test_cached_decode.py
             cache_dtype = {
                 "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
-            }[self.hparams.get("decode_cache_dtype", "bfloat16")]
+            }[self.hparams.get("decode_cache_dtype", "float32")]
 
             att_cached = (
                 lambda n, u_max: make_kv_cache(
@@ -146,6 +147,9 @@ class ASRBundle:
                 None, enc, lens, p_ctc, cfg,
                 max_steps=int(max_steps) if max_steps else None,
                 att_cached=att_cached, lm_cached=lm_cached,
+                # opt-in instrumentation: adds a stats dict (certified
+                # top-k fallback count) as a 4th return element
+                return_stats=bool(self.hparams.get("decode_return_stats")),
             )
 
         beam = int(self.hparams.get("test_beam_size", 66))

@@ -180,13 +180,12 @@ class ASRBrain(Brain):
             m = self.model
             # memory K/V stay at the batch level; decode_step groups beams
             cross = self.model.apply(variables, enc, method=ASRModel.cross_kv)
-            # bf16 caches halve decode HBM traffic; 'int8' halves again
-            # (quantized serving mode, ~quant-noise score shift); 'float32'
-            # restores the bit-exact path (hypothesis parity tests cover
-            # the differences)
+            # default float32 = bit-stable scores matching the reference's
+            # f32 torch decode; serving/benchmarks opt into 'bfloat16' or
+            # 'int8' via decode_cache_dtype (see recipes/asr_bundle.py)
             cache_dtype = {
                 "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
-            }[self.hparams.get("decode_cache_dtype", "bfloat16")]
+            }[self.hparams.get("decode_cache_dtype", "float32")]
             att_cached = (
                 lambda n, u_max: make_kv_cache(
                     n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead,
@@ -397,6 +396,11 @@ def main(argv=None):
     from ..config import load_config, parse_arguments
 
     config_path, run_opts, overrides = parse_arguments(argv if argv is not None else sys.argv[1:])
+    # multi-host entry: the ddp_init_group equivalent (no-op single-host;
+    # env-driven — see parallel/mesh.py). Must run before devices are used.
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()
     hparams = load_config(config_path, overrides)
     from ..utils.compile_cache import enable_compilation_cache
 

@@ -171,3 +171,43 @@ def test_beam_search_int8_cache_matches_f32_on_toy_model():
     np.testing.assert_allclose(
         np.asarray(outs[jnp.float32][2]), np.asarray(outs[jnp.int8][2]), atol=0.15
     )
+
+
+def test_attend_cached_tolerates_garbage_beyond_step():
+    """Cache positions >= step are UNDEFINED after a beam reorder
+    (beam_gather_rows copies only <= step). attend_cached must not let
+    NaN/Inf garbage there poison the output: softmax zeros don't protect
+    the value einsum (0 * NaN = NaN), so the value buffer is masked."""
+    model, variables, enc, lens = _setup()
+    b = enc.shape[0]
+    u_max = 8
+    tokens = jnp.asarray([[1, 5, 6, 9, 2, 0, 0, 0], [1, 7, 3, 4, 8, 2, 0, 0]],
+                         jnp.int32)
+    d_head = SMALL["d_model"] // SMALL["nhead"]
+    cache = make_kv_cache(b, u_max, SMALL["num_decoder_layers"], SMALL["nhead"],
+                          d_head)
+    step = 3
+    clean = dict(cache)
+    # warm the cache through steps 0..2 so positions < step are real
+    for s in range(step):
+        _, clean = model.apply(
+            variables, tokens[:, s], enc, clean, s, lens,
+            method=ASRModel.decode_step_cached,
+        )
+    ref, _ = model.apply(
+        variables, tokens[:, step], enc, dict(clean), step, lens,
+        method=ASRModel.decode_step_cached,
+    )
+    # poison every cache position >= step with NaN and +/-inf
+    pos = jnp.arange(u_max)[None, None, :, None]
+    poison = {
+        "k": jnp.where(pos >= step, jnp.nan, clean["k"]),
+        "v": jnp.where(pos >= step, jnp.inf, clean["v"]),
+        "tokens": clean["tokens"],
+    }
+    out, _ = model.apply(
+        variables, tokens[:, step], enc, poison, step, lens,
+        method=ASRModel.decode_step_cached,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
