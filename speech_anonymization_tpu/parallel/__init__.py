@@ -5,6 +5,8 @@ from .mesh import (
     shard_batch,
     is_main_process,
     run_on_main,
+    initialize_distributed,
+    global_barrier,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "shard_batch",
     "is_main_process",
     "run_on_main",
+    "initialize_distributed",
+    "global_barrier",
 ]

@@ -626,6 +626,11 @@ def main(argv=None):
     from ..config import load_config, parse_arguments
 
     config_path, run_opts, overrides = parse_arguments(argv if argv is not None else sys.argv[1:])
+    # multi-host entry: the ddp_init_group equivalent (no-op single-host;
+    # env-driven — see parallel/mesh.py). Must run before devices are used.
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()
     hparams = load_config(config_path, overrides)
     from ..utils.compile_cache import enable_compilation_cache
 

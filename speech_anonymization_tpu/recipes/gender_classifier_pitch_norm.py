@@ -49,6 +49,10 @@ def main(argv=None):
     from ..train.experiment import create_experiment_directory
 
     config_path, run_opts, overrides = parse_arguments(argv if argv is not None else sys.argv[1:])
+    # multi-host entry: the ddp_init_group equivalent (no-op single-host)
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()
     hparams = load_config(config_path, overrides)
     from ..utils.compile_cache import enable_compilation_cache
 
