@@ -238,7 +238,14 @@ void aperiodicity_frame(const float* x, long long n, int sr, double f0,
   }
   mean /= win_len;
   for (int i = 0; i < win_len; ++i) re[i] -= mean;
+  // time-weighted copy for the group-delay spectrum BEFORE the in-place
+  // FFT consumes re[]: GD(f) = Re(Xt(f) conj(X(f))) / |X(f)|^2 with
+  // Xt = FFT(t * x_w), t in seconds relative to the window center.
+  std::vector<double> re_t(nfft, 0.0), im_t(nfft, 0.0);
+  for (int i = 0; i < win_len; ++i)
+    re_t[i] = re[i] * ((double)(i - half_win) / sr);
   fft(re, im, false);
+  fft(re_t, im_t, false);
   std::vector<double> power(nfft);
   for (int k = 0; k < nfft; ++k) power[k] = re[k] * re[k] + im[k] * im[k];
 
@@ -277,7 +284,34 @@ void aperiodicity_frame(const float* x, long long n, int sr, double f0,
     double rp = 0.0;
     if (l0 + 1 < nfft) rp = br[l0] * (1.0 - frac) + br[l0 + 1] * frac;
     double r = rp / (r0 * w_corr);  // window-corrected normalized autocorr
-    double harm = std::fmax(0.0, std::fmin(1.0, r));
+    double harm_acf = std::fmax(0.0, std::fmin(1.0, r));
+
+    // D4C-class group-delay statistic (the reference's pw.wav2world runs
+    // DIO+CheapTrick+D4C, gender_classifier_train_pitch_norm.py:253-258;
+    // D4C derives band aperiodicity from how CONCENTRATED the static
+    // group delay is). Here: power-weighted circular coherence of the
+    // per-bin group delay wrapped on the pitch period —
+    //   C = |sum_k p_k e^{i 2 pi GD_k / P}| / sum_k p_k.
+    // A periodic pulse train has GD(f) ~ const across harmonics -> C ~ 1;
+    // band noise scatters GD over the (multi-period) window -> the
+    // phasors cancel and C ~ the band's harmonic power fraction.
+    double acc_re = 0.0, acc_im = 0.0, acc_p = 0.0;
+    int klo = (int)std::ceil(lo), khi = (int)std::floor(hi);
+    for (int k = std::max(klo, 1); k <= std::min(khi, half); ++k) {
+      double p = power[k];
+      if (p < 1e-14) continue;
+      double gd = (re_t[k] * re[k] + im_t[k] * im[k]) / p;  // seconds
+      double th = 2.0 * M_PI * gd * f0;  // wrap on the period
+      acc_re += p * std::cos(th);
+      acc_im += p * std::sin(th);
+      acc_p += p;
+    }
+    double harm_gd = acc_p > 0 ? std::sqrt(acc_re * acc_re + acc_im * acc_im) / acc_p
+                               : 0.0;
+
+    // two independent harmonicity estimates — energy (autocorrelation)
+    // and temporal coherence (group delay); geometric mean demands both
+    double harm = std::sqrt(std::fmax(0.0, harm_acf * harm_gd));
     band_ap[b] = std::sqrt(std::fmax(kApFloor * kApFloor,
                                      std::fmin(kApCeil * kApCeil, 1.0 - harm)));
   }

@@ -41,54 +41,80 @@ BASE = os.path.join(REPO, "configs")
 
 # ---------------------------------------------------------------- corpus
 
-def _utterance(rng, f0_base, formant_scale, seconds):
-    """Formant-synthesized 'speech': a sequence of vowel-like phones with
-    per-phone formant targets, F0 declination + jitter, and breath noise."""
-    n = int(seconds * SR)
-    out = np.zeros(n)
-    pos = 0
-    while pos < n:
-        dur = int(rng.uniform(0.12, 0.28) * SR)
-        dur = min(dur, n - pos)
-        t = np.arange(dur) / SR
-        # per-phone targets
-        f1 = rng.uniform(300, 850) * formant_scale
-        f2 = rng.uniform(900, 2200) * formant_scale
-        f3 = rng.uniform(2300, 3000) * formant_scale
-        f0 = f0_base * (1.0 + 0.06 * rng.standard_normal()) * (1.0 - 0.1 * pos / n)
+# phone inventory: vowel-like formant targets (Hz) — speaker formant_scale
+# multiplies them, F0 comes from the speaker
+PHONES = {
+    "AA": (730, 1090, 2440), "IY": (270, 2290, 3010), "UW": (300, 870, 2240),
+    "EH": (530, 1840, 2480), "AO": (570, 840, 2410), "AE": (660, 1720, 2410),
+    "ER": (490, 1350, 1690), "IH": (390, 1990, 2550), "AH": (640, 1190, 2390),
+    "OW": (450, 1030, 2380), "EY": (400, 2100, 2700), "AY": (680, 1300, 2500),
+}
+# each WORD is a FIXED phone sequence, so the audio actually carries the
+# transcript (required for the WER rows: an ASR can only be better than
+# chance if acoustics and words correlate — VERDICT r2 missing #4)
+WORD_PHONES = {
+    "HELLO": ("EH", "AH", "OW"),
+    "WORLD": ("ER", "AH", "UW"),
+    "SPEECH": ("IY", "IH", "IY"),
+    "MODEL": ("AO", "AH", "EH"),
+    "TEST": ("EH", "AE", "IH"),
+    "AUDIO": ("AA", "IY", "OW"),
+    "SIGNAL": ("IH", "AE", "AH"),
+    "VOICE": ("AO", "AY", "IY"),
+}
+WORDS = list(WORD_PHONES)
 
-        def env(f):
-            return (
-                1.0 * np.exp(-0.5 * ((f - f1) / 120.0) ** 2)
-                + 0.6 * np.exp(-0.5 * ((f - f2) / 180.0) ** 2)
-                + 0.25 * np.exp(-0.5 * ((f - f3) / 250.0) ** 2)
-                + 0.01
-            )
 
-        x = np.zeros(dur)
-        k = 1
-        while k * f0 < 4500:
-            # mild vibrato so harmonics are not laser lines
-            phase = 2 * np.pi * k * f0 * t * (1 + 0.003 * np.sin(2 * np.pi * 5.0 * t))
-            x += env(k * f0) * np.cos(phase + rng.uniform(0, 2 * np.pi))
-            k += 1
-        x *= 0.22 / (np.abs(x).max() + 1e-9)
-        # amplitude envelope (attack/decay) + breath noise
-        a = np.minimum(1.0, np.minimum(t / 0.02, (dur / SR - t) / 0.03).clip(0.05))
-        out[pos : pos + dur] = x * a + 0.004 * rng.standard_normal(dur)
-        pos += dur
-        # short pause sometimes
-        if rng.random() < 0.3:
-            pos += int(rng.uniform(0.02, 0.08) * SR)
+def _phone_wave(rng, f0, formants, scale, dur, declination):
+    t = np.arange(dur) / SR
+    f1, f2, f3 = (f * scale for f in formants)
+    f0 = f0 * (1.0 + 0.04 * rng.standard_normal()) * declination
+
+    def env(f):
+        return (
+            1.0 * np.exp(-0.5 * ((f - f1) / 120.0) ** 2)
+            + 0.6 * np.exp(-0.5 * ((f - f2) / 180.0) ** 2)
+            + 0.25 * np.exp(-0.5 * ((f - f3) / 250.0) ** 2)
+            + 0.01
+        )
+
+    x = np.zeros(dur)
+    k = 1
+    while k * f0 < 4500:
+        # mild vibrato so harmonics are not laser lines
+        phase = 2 * np.pi * k * f0 * t * (1 + 0.003 * np.sin(2 * np.pi * 5.0 * t))
+        x += env(k * f0) * np.cos(phase + rng.uniform(0, 2 * np.pi))
+        k += 1
+    x *= 0.22 / (np.abs(x).max() + 1e-9)
+    a = np.minimum(1.0, np.minimum(t / 0.02, (dur / SR - t) / 0.03).clip(0.05))
+    return x * a
+
+
+def _utterance(rng, f0_base, formant_scale, words):
+    """Formant-synthesized 'speech' FOR a word sequence: each word is its
+    fixed phone sequence (WORD_PHONES) with per-speaker F0/formant scale,
+    F0 declination + jitter, short inter-word pauses, breath noise."""
+    pieces = []
+    n_phones = sum(len(WORD_PHONES[w]) for w in words)
+    i = 0
+    for w in words:
+        for ph in WORD_PHONES[w]:
+            dur = int(rng.uniform(0.10, 0.16) * SR)
+            decl = 1.0 - 0.1 * i / max(n_phones, 1)
+            pieces.append(_phone_wave(rng, f0_base, PHONES[ph], formant_scale, dur, decl))
+            i += 1
+        if rng.random() < 0.6:
+            pieces.append(np.zeros(int(rng.uniform(0.02, 0.07) * SR)))
+    out = np.concatenate(pieces)
+    out = out + 0.004 * rng.standard_normal(len(out))
     return out.astype(np.float32)
 
 
-WORDS = ["HELLO", "WORLD", "SPEECH", "MODEL", "TEST", "AUDIO", "SIGNAL", "VOICE"]
-
-
-def build_corpus(root, n_train_spk=8, n_test_spk=2, utts=10, seconds=2.0, seed=0):
-    """M/F speakers with disjoint test speakers. F0: M ~ N(115, 12), F ~
-    N(210, 18); female formants scaled ~1.12x (vocal-tract length cue)."""
+def build_corpus(root, n_train_spk=8, n_test_spk=5, utts=10, seconds=2.0, seed=0):
+    """M/F speakers with disjoint test speakers (5 per sex held out — wide
+    enough that ACC rows are not quantized to coarse steps). F0: M ~
+    N(115, 12), F ~ N(210, 18); female formants scaled ~1.12x
+    (vocal-tract length cue)."""
     rng = np.random.default_rng(seed)
     speakers = {}
     sid = 100
@@ -111,11 +137,11 @@ def build_corpus(root, n_train_spk=8, n_test_spk=2, utts=10, seconds=2.0, seed=0
         lines = []
         for u in range(utts):
             utt_id = f"{spk}-100-{u:04d}"
-            dur = seconds * rng.uniform(0.8, 1.2)
-            wav = _utterance(rng, f0, scale, dur)
+            words = list(rng.choice(WORDS, size=4))
+            wav = _utterance(rng, f0, scale, words)
             total_s += len(wav) / SR
             write_wav(os.path.join(chap_dir, utt_id + ".wav"), wav, SR)
-            lines.append(f"{utt_id} " + " ".join(rng.choice(WORDS, size=4)))
+            lines.append(f"{utt_id} " + " ".join(words))
         with open(os.path.join(chap_dir, f"{spk}-100.trans.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
     return speakers, total_s
@@ -138,7 +164,7 @@ def _common(root, out):
 
 
 def main():
-    from speech_anonymization_tpu.recipes import anonymizer, gender_classifier
+    from speech_anonymization_tpu.recipes import anonymizer, asr_train, gender_classifier
 
     work = os.path.join(REPO, "save", "repro_gender_row")
     os.makedirs(work, exist_ok=True)
@@ -158,6 +184,22 @@ def main():
     )
     acc_orig = 1.0 - float(gb.test_stats["error"])
     print(f"[stage 1] gender ACC on ORIGINAL audio (held-out speakers): {acc_orig:.3f}")
+
+    # ---- stage 1.5: tiny utility ASR (words ARE in the audio: WORD_PHONES) --
+    aout = os.path.join(work, "asr")
+    ab = asr_train.main(
+        [os.path.join(BASE, "transformer.yaml")]
+        + _common(root, aout)
+        + ["--test_csv", f'["{test_csv}"]',
+           "--batch_size", "8", "--number_of_epochs", "12",
+           "--d_model", "48", "--nhead", "4", "--num_encoder_layers", "2",
+           "--num_decoder_layers", "2", "--d_ffn", "96", "--output_neurons", "40",
+           "--valid_beam_size", "2", "--test_beam_size", "4",
+           "--valid_search_interval", "100", "--noam_annealing", "null",
+           "--lr_adam", "0.003"]
+    )
+    wer_asr = float(ab.test_stats["WER"])
+    print(f"[stage 1.5] tiny ASR WER on ORIGINAL audio (held-out speakers): {wer_asr:.1f}%")
 
     # ---- stage 2: adversarial FC-AE with the evaluator attached ------------
     nout = os.path.join(work, "anon")
@@ -180,26 +222,39 @@ def main():
            "--lr_adam", "0.55", "--n_warmup_steps", "100",
            "--adversarial_schedule", schedule,
            "--external_classifier_dir", os.path.join(gout, "save", "ckpts"),
+           # attach the stage-1.5 ASR: Utility_Retention becomes the
+           # encoder cosine and the test loop decodes BOTH feature sets
+           # for the WER_orig / WER(anon) pair (the reference's
+           # train_log triple — speechbrain_convae_train.py:168-183)
+           "--asr_checkpoint_dir", os.path.join(aout, "save", "ckpts"),
+           "--tokenizer_path", os.path.join(aout, "save", "tokenizer.json"),
+           "--d_model", "48", "--nhead", "4", "--num_encoder_layers", "2",
+           "--num_decoder_layers", "2", "--d_ffn", "96", "--output_neurons", "40",
+           "--test_beam_size", "4",
            ]
     )
     s = nb.test_stats
     acc_ext_orig = float(s["ACC_external_orig"])
     acc_ext_anon = float(s["ACC_external"])
     acc_int = float(s["ACC"])
-    recon_cos = float(s["Utility_Retention"])  # recon<->clean feature cosine (no ASR attached)
+    util = float(s["Utility_Retention"])  # ASR-encoder cosine (ASR attached)
+    wer_anon = float(s["WER"])
+    wer_orig = float(s.get("WER_orig", float("nan")))
     print(f"[stage 2] ACC_external orig={acc_ext_orig:.3f} anon={acc_ext_anon:.3f} "
-          f"internal={acc_int:.3f} recon_cos={recon_cos:.3f}")
+          f"internal={acc_int:.3f} utility={util:.3f} "
+          f"WER orig={wer_orig:.1f}% anon={wer_anon:.1f}%")
 
     doc = f"""# Reduced-scale reproduction of the reference research rows
 
 The environment ships no LibriSpeech audio, so the reference's headline
 rows are reproduced IN KIND on a synthetic formant-rich gendered corpus
-(16 train + 4 held-out test speakers, ~{'{:.0f}'.format(20*10*2/60)} min, F0 M~115 Hz /
-F~210 Hz, female formants x1.12) through the real recipes end-to-end.
-Scale caveat: absolute numbers are not comparable to LibriSpeech rows;
-the DIRECTIONS and mechanism (adversarially trained FC-AE hides the sex
-cue from an externally trained evaluator while reconstructing features)
-are what is being demonstrated.
+(16 train + 10 held-out test speakers, F0 M~115 Hz / F~210 Hz, female
+formants x1.12; each WORD is a fixed phone sequence so the audio carries
+the transcript) through the real recipes end-to-end. Scale caveat:
+absolute numbers are not comparable to LibriSpeech rows; the DIRECTIONS
+and mechanism (adversarially trained FC-AE hides the sex cue from an
+externally trained evaluator while keeping the features decodable) are
+what is being demonstrated.
 
 | Row | Reference (LibriSpeech, full scale) | This repo (synthetic, reduced) |
 |---|---|---|
@@ -207,20 +262,27 @@ are what is being demonstrated.
 | ACC_external, original features | ~0.96 | **{acc_ext_orig:.3f}** |
 | ACC_external, ANONYMIZED features | 0.39 (fullyconn_updatedsexclassifier_recon0.5_sex0.5, wer_test-clean) | **{acc_ext_anon:.3f}** |
 | Internal (adversary) ACC on anon | — | {acc_int:.3f} |
-| Recon quality: recon-vs-original feature cosine | (reference reports ASR-encoder cosine 0.78 — stronger metric, needs the ported ASR) | {recon_cos:.3f} |
+| WER, original features | 7.49% (fullyconn_normalize_recon1.0, wer_test-clean-100.txt) | **{wer_orig:.1f}%** (tiny-ASR baseline {wer_asr:.1f}%) |
+| WER, ANONYMIZED features | 9.11% (fullyconn_updatedsexclassifier recon0.1/sex0.9, wer_test-clean.txt) | **{wer_anon:.1f}%** |
+| Utility retention (ASR-encoder cosine recon vs orig) | 0.617-0.916 (train_log.txt rows) | {util:.3f} |
 
-The recon-cosine row guards against the trivial outcome (an untrained AE
-outputs garbage, which also scores chance ACC): anonymization only means
-something if reconstruction is simultaneously good.
+The WER pair mirrors the reference's train_log triple (WER / ACC_ext /
+Utility): beam search + the attached tiny ASR decode BOTH the original
+and the anonymized features of the same held-out utterances. The utility
+rows guard against the trivial outcome (an untrained AE outputs garbage,
+which also scores chance ACC): anonymization only means something if the
+features remain decodable at the same time.
 
 Commands (deterministic, CPU):
 
     python scripts/repro_gender_row.py
 
-(recipe chain: gender_classifier.yaml 8 epochs -> convae.yaml fcae,
-adversarial schedule recon0.5/sex0.5 + sex_classifier phase, 40 epochs
-(lr_adam 0.55, n_warmup_steps 100 -> peak lr ~2e-3 at this step count),
-external evaluator from stage 1; disjoint test speakers throughout.)
+(recipe chain: gender_classifier.yaml 8 epochs -> transformer.yaml tiny
+ASR (48d, 2+2 layers, beam 4) 12 epochs -> convae.yaml fcae, adversarial
+schedule recon0.5/sex0.5 + sex_classifier phase, 40 epochs (lr_adam 0.55,
+n_warmup_steps 100 -> peak lr ~2e-3 at this step count), external
+evaluator from stage 1 + ASR from stage 1.5 attached; disjoint test
+speakers throughout.)
 """
     with open(os.path.join(REPO, "EXPERIMENTS.md"), "w") as f:
         f.write(doc)

@@ -60,9 +60,15 @@ class ASRModel(nn.Module):
     output_neurons: int = 5000
     dropout: float = 0.0
     pad_index: int = 0
+    # SpeechBrain-0.5 forward parity for checkpoints ported from the
+    # reference's torch layout (utils/reference_ckpts.load_reference_asr):
+    # SB-faithful conv frontend + final enc/dec LayerNorms + exact GELU.
+    sb_compat: bool = False
 
     def setup(self):
-        self.cnn = ConvolutionFrontEnd()
+        from .transformer import SBConvFrontEnd
+
+        self.cnn = SBConvFrontEnd() if self.sb_compat else ConvolutionFrontEnd()
         freq_out = (self.input_feats + 1) // 2
         freq_out = (freq_out + 1) // 2  # two stride-2 convs: 80 -> 20
         self.transformer = TransformerASR(
@@ -75,6 +81,7 @@ class ASRModel(nn.Module):
             d_ffn=self.d_ffn,
             dropout=self.dropout,
             pad_index=self.pad_index,
+            sb_compat=self.sb_compat,
         )
         self.heads = ASRHeads(self.d_model, self.output_neurons)
 

@@ -228,7 +228,13 @@ def sinusoidal_positions(max_len: int, d_model: int) -> jnp.ndarray:
 
 
 class ConvolutionFrontEnd(nn.Module):
-    """2-D conv subsampler: (B, T, F) -> (B, T/4, F/4 * channels[-1])."""
+    """2-D conv subsampler: (B, T, F) -> (B, T/4, F/4 * channels[-1]).
+
+    Conscious deviations from SpeechBrain's ConvolutionFrontEnd (SAME
+    padding, swish activation, channel-only LayerNorm) — faster on TPU and
+    equivalent in capacity for models trained HERE. Checkpoints ported
+    from the reference's torch layout need :class:`SBConvFrontEnd`.
+    """
 
     out_channels: Sequence[int] = (128, 256, 512)
     kernel_sizes: Sequence[int] = (3, 3, 1)
@@ -242,6 +248,45 @@ class ConvolutionFrontEnd(nn.Module):
             h = nn.Conv(ch, (k, k), strides=(s, s), padding="SAME")(h)
             h = nn.LayerNorm()(h)
             h = nn.swish(h)
+        bb, tt, ff, cc = h.shape
+        return h.reshape(bb, tt, ff * cc)
+
+
+class SBConvFrontEnd(nn.Module):
+    """SpeechBrain-0.5-faithful ConvolutionFrontEnd — the layout/semantics
+    the HF ``asr.ckpt`` weights were trained under
+    (speechbrain/lobes/models/convolution.py, instantiated at
+    /root/reference/speechbrain_configs/transformer.yaml:128-135 with
+    num_layers_per_block=1, residuals all False):
+
+      per block: Conv2d(k, stride, symmetric k//2 padding — SB's
+      get_padding_elem, NOT XLA SAME, whose asymmetric pad shifts windows
+      for even lengths) -> LayerNorm over the trailing (freq, channel)
+      axes (SB LayerNorm gets input_shape[2:], eps 1e-5) -> LeakyReLU(0.01)
+      (SB's default activation).
+    """
+
+    out_channels: Sequence[int] = (128, 256, 512)
+    kernel_sizes: Sequence[int] = (3, 3, 1)
+    strides: Sequence[int] = (2, 2, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, t, f = x.shape
+        h = x[..., None]  # (B, T, F, 1)
+        for i, (ch, k, s) in enumerate(
+            zip(self.out_channels, self.kernel_sizes, self.strides)
+        ):
+            pad = k // 2
+            h = nn.Conv(
+                ch, (k, k), strides=(s, s),
+                padding=((pad, pad), (pad, pad)), name=f"conv_{i}",
+            )(h)
+            h = nn.LayerNorm(
+                epsilon=1e-5, reduction_axes=(-2, -1),
+                feature_axes=(-2, -1), name=f"norm_{i}",
+            )(h)
+            h = jnp.where(h >= 0, h, 0.01 * h)  # LeakyReLU, torch default slope
         bb, tt, ff, cc = h.shape
         return h.reshape(bb, tt, ff * cc)
 
@@ -369,11 +414,16 @@ class FeedForward(nn.Module):
     d_model: int
     d_ffn: int
     dropout: float = 0.0
+    # exact erf GELU (torch nn.GELU default) instead of flax's tanh
+    # approximation — required for <=1e-4 parity with ported SpeechBrain
+    # checkpoints (sb_compat mode); the approximate default stays for
+    # this repo's own trained models.
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Dense(self.d_ffn)(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=not self.exact_gelu)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.Dense(self.d_model)(h)
@@ -386,13 +436,15 @@ class EncoderLayer(nn.Module):
     nhead: int
     d_ffn: int
     dropout: float = 0.0
+    exact_gelu: bool = False
 
     def setup(self):
         # explicit names preserve the parameter tree of the original
         # nn.compact implementation (ported checkpoints depend on it)
         self.attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="attn")
         self.ln1 = nn.LayerNorm(name="LayerNorm_0")
-        self.ff = FeedForward(self.d_model, self.d_ffn, self.dropout, name="FeedForward_0")
+        self.ff = FeedForward(self.d_model, self.d_ffn, self.dropout,
+                              exact_gelu=self.exact_gelu, name="FeedForward_0")
         self.ln2 = nn.LayerNorm(name="LayerNorm_1")
 
     def __call__(self, x, mask=None, train: bool = False):
@@ -425,6 +477,7 @@ class DecoderLayer(nn.Module):
     nhead: int
     d_ffn: int
     dropout: float = 0.0
+    exact_gelu: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout)
@@ -432,7 +485,8 @@ class DecoderLayer(nn.Module):
         self.ln1 = nn.LayerNorm()
         self.ln2 = nn.LayerNorm()
         self.ln3 = nn.LayerNorm()
-        self.ff = FeedForward(self.d_model, self.d_ffn, self.dropout)
+        self.ff = FeedForward(self.d_model, self.d_ffn, self.dropout,
+                              exact_gelu=self.exact_gelu)
 
     def cross_kv(self, memory):
         """Precompute the cross-attention K/V heads of the encoder memory —
@@ -492,19 +546,30 @@ class TransformerASR(nn.Module):
     dropout: float = 0.0
     max_len: int = 5000
     pad_index: int = 0
+    # SpeechBrain-0.5 forward parity for PORTED reference checkpoints:
+    # final LayerNorm after the encoder and decoder stacks (SB's
+    # TransformerEncoder/Decoder apply self.norm unconditionally, even
+    # post-norm) and exact erf GELU. Off by default — this repo's own
+    # trained checkpoints have no such params.
+    sb_compat: bool = False
 
     def setup(self):
         self.input_proj = nn.Dense(self.d_model)
         self.pe = sinusoidal_positions(self.max_len, self.d_model)
         self.embed = nn.Embed(self.tgt_vocab, self.d_model)
         self.encoder_layers = [
-            EncoderLayer(self.d_model, self.nhead, self.d_ffn, self.dropout, name=f"enc_{i}")
+            EncoderLayer(self.d_model, self.nhead, self.d_ffn, self.dropout,
+                         exact_gelu=self.sb_compat, name=f"enc_{i}")
             for i in range(self.num_encoder_layers)
         ]
         self.decoder_layers = [
-            DecoderLayer(self.d_model, self.nhead, self.d_ffn, self.dropout, name=f"dec_{i}")
+            DecoderLayer(self.d_model, self.nhead, self.d_ffn, self.dropout,
+                         exact_gelu=self.sb_compat, name=f"dec_{i}")
             for i in range(self.num_decoder_layers)
         ]
+        if self.sb_compat:
+            self.enc_norm = nn.LayerNorm(name="enc_norm")
+            self.dec_norm = nn.LayerNorm(name="dec_norm")
 
     def encode(self, src, src_lengths=None, train: bool = False):
         b, t, _ = src.shape
@@ -515,6 +580,8 @@ class TransformerASR(nn.Module):
             mask = valid[:, None, None, :]  # (B, 1, 1, T) keys masked
         for layer in self.encoder_layers:
             x = layer(x, mask, train)
+        if self.sb_compat:
+            x = self.enc_norm(x)
         return x
 
     def decode(self, tgt_tokens, memory, src_lengths=None, train: bool = False):
@@ -529,6 +596,8 @@ class TransformerASR(nn.Module):
             cross_mask = lengths_to_padding_mask(src_lengths, t)[:, None, None, :]
         for layer in self.decoder_layers:
             x = layer(x, memory, self_mask, cross_mask, train)
+        if self.sb_compat:
+            x = self.dec_norm(x)
         return x
 
     def __call__(self, src, tgt_tokens, src_lengths=None, train: bool = False):
@@ -582,6 +651,8 @@ class TransformerASR(nn.Module):
             x, kh, vh = layer.decode_step(x, attends[i], ckv, cross_mask)
             khs.append(kh)
             vhs.append(vh)
+        if self.sb_compat:
+            x = self.dec_norm(x)
         return x[:, 0], {**finalize(khs, vhs), "tokens": tok_buf}
 
 
@@ -596,15 +667,33 @@ class TransformerLM(nn.Module):
     dropout: float = 0.0
     max_len: int = 5000
     pad_index: int = 0
+    # SpeechBrain-0.5 parity mode for PORTED reference lm.ckpt weights:
+    # final encoder LayerNorm, exact erf GELU, and SB's output head —
+    # Linear(d_model -> d_model//2) -> LayerNorm(eps 1e-5) ->
+    # Linear(-> vocab) (TransformerLM.output_proj). Default off: this
+    # repo's own LMs use a single Dense head.
+    sb_compat: bool = False
 
     def setup(self):
         self.embed = nn.Embed(self.vocab, self.d_model)
         self.pe = sinusoidal_positions(self.max_len, self.d_model)
         self.layers = [
-            EncoderLayer(self.d_model, self.nhead, self.d_ffn, self.dropout, name=f"layer_{i}")
+            EncoderLayer(self.d_model, self.nhead, self.d_ffn, self.dropout,
+                         exact_gelu=self.sb_compat, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
-        self.out = nn.Dense(self.vocab)
+        if self.sb_compat:
+            self.norm = nn.LayerNorm(name="norm")
+            self.out_a = nn.Dense(self.d_model // 2, name="out_a")
+            self.out_ln = nn.LayerNorm(epsilon=1e-5, name="out_ln")
+            self.out_b = nn.Dense(self.vocab, name="out_b")
+        else:
+            self.out = nn.Dense(self.vocab)
+
+    def _head(self, x):
+        if self.sb_compat:
+            return self.out_b(self.out_ln(self.out_a(self.norm(x))))
+        return self.out(x)
 
     def __call__(self, tokens, train: bool = False):
         b, u = tokens.shape
@@ -614,7 +703,7 @@ class TransformerLM(nn.Module):
         mask = causal & not_pad
         for layer in self.layers:
             x = layer(x, mask, train)
-        return self.out(x)
+        return self._head(x)
 
     def init_cache(self, batch: int, u_max: int, dtype=jnp.float32) -> dict:
         return make_kv_cache(
@@ -642,4 +731,4 @@ class TransformerLM(nn.Module):
             x, kh, vh = layer.decode_step(x, attends[i])
             khs.append(kh)
             vhs.append(vh)
-        return self.out(x[:, 0]), {**finalize(khs, vhs), "tokens": tok_buf}
+        return self._head(x[:, 0]), {**finalize(khs, vhs), "tokens": tok_buf}

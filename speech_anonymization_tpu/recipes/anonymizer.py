@@ -509,6 +509,10 @@ class SexAnonymizationBrain(Brain):
         elif stage == Stage.TEST:
             if self.asr_bundle is not None:
                 stats["WER"] = self.asr_bundle.finish_test(self)
+                # the reference logs WER on recon AND original features
+                # (wer_metric / wer_metric2, speechbrain_convae_train.py:182-183)
+                if getattr(self, "wer_metric2", None) and self.wer_metric2.utts:
+                    stats["WER_orig"] = self.wer_metric2.summarize("error_rate")
             if self.hparams.get("measure_mi") and self._mi_feats:
                 # test-set MI between anonymized features and sex labels
                 # (the runnable form of the reference's weight-0 MILoss,
@@ -678,7 +682,10 @@ def main(argv=None):
             ext_dir, emb_dim=int(hparams.get("evaluator_emb_dim", 128))
         )
 
-    checkpointer = Checkpointer(os.path.join(hparams["save_folder"], "ckpts"))
+    checkpointer = Checkpointer(
+        os.path.join(hparams["save_folder"], "ckpts"),
+        async_writes=bool(hparams.get("async_checkpointing", True)),
+    )
     brain = SexAnonymizationBrain(
         hparams, checkpointer, external_classifier=external, asr_bundle=asr_bundle
     )

@@ -424,7 +424,10 @@ def main(argv=None):
     train_loader, valid_loader, test_loaders = make_loaders(
         hparams, train_data, valid_data, test_datasets
     )
-    checkpointer = Checkpointer(os.path.join(hparams["save_folder"], "ckpts"))
+    checkpointer = Checkpointer(
+        os.path.join(hparams["save_folder"], "ckpts"),
+        async_writes=bool(hparams.get("async_checkpointing", True)),
+    )
     brain = ASRBrain(hparams, tokenizer, checkpointer)
     brain.init_state(brain._device_batch(next(iter(valid_loader))), int(hparams.get("seed", 0)))
     checkpointer.recover_if_possible()

@@ -432,7 +432,10 @@ def main(argv=None):
             n_mels=int(hparams.get("n_mels", 80)),
         )
 
-    checkpointer = Checkpointer(hparams["save_folder"] + "/ckpts")
+    checkpointer = Checkpointer(
+        hparams["save_folder"] + "/ckpts",
+        async_writes=bool(hparams.get("async_checkpointing", True)),
+    )
     brain = GenderBrain(hparams, checkpointer=checkpointer, recon_model=recon_model)
     brain.init_state(brain._device_batch(next(iter(valid_loader))))
     checkpointer.recover_if_possible()

@@ -77,7 +77,10 @@ def main(argv=None):
     train_data, valid_data, test_data, _ = base.dataio_prepare(hparams, audio_pipeline=pipeline)
     train_loader, valid_loader, test_loader = base._loaders(hparams, train_data, valid_data, test_data)
 
-    checkpointer = Checkpointer(hparams["save_folder"] + "/ckpts")
+    checkpointer = Checkpointer(
+        hparams["save_folder"] + "/ckpts",
+        async_writes=bool(hparams.get("async_checkpointing", True)),
+    )
     brain = base.GenderBrain(hparams, checkpointer=checkpointer)
     brain.init_state(brain._device_batch(next(iter(valid_loader))))
     checkpointer.recover_if_possible()

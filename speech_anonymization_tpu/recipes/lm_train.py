@@ -278,7 +278,10 @@ def main(argv=None):
     )
     valid_loader = TextBatchLoader(valid_sents, tokenizer, batch_size, buckets)
 
-    checkpointer = Checkpointer(os.path.join(hparams["save_folder"], "ckpts"))
+    checkpointer = Checkpointer(
+        os.path.join(hparams["save_folder"], "ckpts"),
+        async_writes=bool(hparams.get("async_checkpointing", True)),
+    )
     brain = LMBrain(hparams, tokenizer, checkpointer)
     brain.init_state(next(iter(valid_loader)), int(hparams.get("seed", 0)))
     checkpointer.recover_if_possible()
