@@ -60,6 +60,12 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
     lane axis; attention steps view heads via a free bitcast.
     """
     u_max = -(-u_max // 8) * 8
+    # long caches take the CHUNKED attention kernel, whose DMA grain must
+    # divide U; a 64-multiple U enables 64-position chunks instead of the
+    # 8-position floor (57 tiny serial DMAs per step at e.g. U=456)
+    from ..ops.pallas.attention_step import max_u_whole_row
+    if u_max > max_u_whole_row(nhead * d_head, max(jnp.dtype(dtype).itemsize, 2)):
+        u_max = -(-u_max // 64) * 64
     cache = {
         "k": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         "v": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
@@ -131,10 +137,9 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         and m % 128 == 0
         and u % 8 == 0
         and n % 8 == 0
-        # long-utterance decodes exceed the kernel's VMEM row tile; the
-        # jnp path (slower but unbounded) takes over
-        # int8 caches still materialize bf16/f32 dequant temps in VMEM,
-        # so the bound uses the bf16 footprint for them too
+        # short caches take the whole-row kernel; beyond its VMEM bound a
+        # chunked online-softmax kernel streams U (attention_step.py), so
+        # this cap is only a pathological-shape backstop for the jnp path
         and u <= max_u_for_kernel(m, max(cache["k"].dtype.itemsize, 2))
     )
     quant = "k_scale" in cache

