@@ -49,6 +49,8 @@ hparams = {
 hparams["decode_cache_dtype"] = os.environ.get("DEC_CACHE_DTYPE", "bfloat16")
 # surface the certified top-k fallback counter (DEC_STATS=0 to disable)
 hparams["decode_return_stats"] = os.environ.get("DEC_STATS", "1") == "1"
+# DEC_PAGED=0 forces the physical per-step cache reorder (A/B baseline)
+hparams["decode_paged_kv"] = os.environ.get("DEC_PAGED", "1") == "1"
 USE_LM = os.environ.get("DEC_LM", "1") == "1"
 
 print(f"devices: {jax.devices()}  B={B} beam=66 steps={STEPS} lm={USE_LM}")

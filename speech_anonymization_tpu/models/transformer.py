@@ -34,8 +34,24 @@ def lengths_to_padding_mask(lengths: jax.Array, max_len: int) -> jax.Array:
     return jnp.arange(max_len)[None, :] < n[:, None]
 
 
+def use_paged_cache(batch: int, u_max: int, d_model: int, dtype) -> bool:
+    """True when the paged (lazy-beam-reorder) decode path applies: TPU
+    backend, fused-kernel-compatible shapes, and a cache short enough for
+    the whole-row kernel's VMEM scratch. The paged path eliminates the
+    per-step physical cache reorder — see beam_reorder_cache."""
+    from ..ops.pallas.attention_step import _PAGE, max_u_whole_row
+
+    u_pad = -(-u_max // _PAGE) * _PAGE
+    return (
+        jax.default_backend() == "tpu"
+        and d_model % 128 == 0
+        and batch % 8 == 0
+        and u_pad <= max_u_whole_row(d_model, max(jnp.dtype(dtype).itemsize, 2))
+    )
+
+
 def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: int,
-                  dtype=jnp.float32, pad_index: int = 0) -> dict:
+                  dtype=jnp.float32, pad_index: int = 0, paged: bool = False) -> dict:
     """KV + token buffers for incremental decoding (callable outside
     apply — flax setup attributes are unavailable there). The token buffer
     lets cached steps reproduce the full path's pad-key masking.
@@ -63,15 +79,33 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
     # long caches take the CHUNKED attention kernel, whose DMA grain must
     # divide U; a 64-multiple U enables 64-position chunks instead of the
     # 8-position floor (57 tiny serial DMAs per step at e.g. U=456)
-    from ..ops.pallas.attention_step import max_u_whole_row
+    from ..ops.pallas.attention_step import _PAGE, max_u_whole_row
     if u_max > max_u_whole_row(nhead * d_head, max(jnp.dtype(dtype).itemsize, 2)):
         u_max = -(-u_max // 64) * 64
+        paged = False  # paged mode rides the whole-row kernel only
+    if paged:
+        u_max = -(-u_max // _PAGE) * _PAGE
     cache = {
         "k": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         "v": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         # init to pad so un-written positions are masked like the full path
         "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
     }
+    if paged:
+        # lazy-beam-reorder state: completed-page ownership table (each
+        # row initially owns its pages), the beam parent whose parity slot
+        # holds this row's ACTIVE page, and the parity-slotted active-page
+        # side buffers the attention kernel ping-pongs through. With these
+        # present, beam_reorder_cache never copies k/v — the reorder pass
+        # (a full live-cache read+write per step, as large as the
+        # attention reads themselves) becomes an int-table gather.
+        m = nhead * d_head
+        cache["table"] = jnp.broadcast_to(
+            jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, u_max // _PAGE)
+        )
+        cache["act_src"] = jnp.arange(batch, dtype=jnp.int32)
+        cache["k_act"] = jnp.zeros((num_layers, batch, 2, _PAGE, m), dtype)
+        cache["v_act"] = jnp.zeros((num_layers, batch, 2, _PAGE, m), dtype)
     if dtype == jnp.int8:
         # symmetric per-(layer, row, position) dequant scales (quantized
         # serving mode — halves the cache bytes that dominate decode)
@@ -98,19 +132,134 @@ def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
     b, k = parent.shape
     src = (jnp.arange(b, dtype=jnp.int32)[:, None] * k + parent.astype(jnp.int32)).reshape(-1)
 
-    def perm(a):  # (L, N, U, M) -> gather rows along N
-        return beam_gather_rows(a, src, step)
-
     tokens = cache["tokens"]
     n, u = tokens.shape
     toks = jnp.take_along_axis(
         tokens.reshape(b, k, u), parent[:, :, None], axis=1
     ).reshape(n, u)
+
+    if "table" in cache:
+        # PAGED cache: k/v (and the active-page side buffers) never move.
+        # Completed pages re-parent by gathering the int ownership table;
+        # the active page re-parents by recording the parent row, whose
+        # parity slot the next attention step reads. When this step just
+        # COMPLETED a page (the kernel wrote the merged page to the main
+        # cache at its OWN row), that page's table column becomes src.
+        from ..ops.pallas.attention_step import _PAGE
+
+        if step is None:
+            raise ValueError("paged cache reorder requires the decode step")
+        step = jnp.asarray(step, jnp.int32)
+        up = cache["table"].shape[1]
+        tbl = jnp.take(cache["table"], src, axis=0)
+        completes = (step % _PAGE) == (_PAGE - 1)
+        col = jnp.where(completes, step // _PAGE, up)  # up = out of range
+        tbl = jnp.where(jnp.arange(up)[None, :] == col, src[:, None], tbl)
+        out = {
+            "k": cache["k"], "v": cache["v"],
+            "k_act": cache["k_act"], "v_act": cache["v_act"],
+            "table": tbl, "act_src": src, "tokens": toks,
+        }
+        for key in ("k_scale", "v_scale"):
+            if key in cache:  # (L, N, U) — small, physically gathered
+                out[key] = jnp.take(cache[key], src, axis=1)
+        return out
+
+    def perm(a):  # (L, N, U, M) -> gather rows along N
+        return beam_gather_rows(a, src, step)
+
     out = {"k": perm(cache["k"]), "v": perm(cache["v"]), "tokens": toks}
     for key in ("k_scale", "v_scale"):
         if key in cache:  # (L, N, U) — small, a plain gather suffices
             out[key] = jnp.take(cache[key], src, axis=1)
     return out
+
+
+def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
+    """jnp fallback for PAGED caches (off-TPU tests): materializes each
+    layer's logically-contiguous k/v buffer through the page table + the
+    beam parent's active-page parity slot, runs attend_cached on it, and
+    has finalize write the merged active page back (parity slot, plus the
+    main cache when the page completes) — the same semantics the Pallas
+    paged kernel implements with per-(row, page) DMAs. O(full cache)
+    materialization per step: a correctness oracle, not a fast path.
+    """
+    from ..ops.pallas.attention_step import _PAGE
+
+    n, u = mask_nu.shape
+    m = cache["k"].shape[-1]
+    up = u // _PAGE
+    step = jnp.asarray(step, jnp.int32)
+    p_act = step // _PAGE
+    o = step - p_act * _PAGE
+    par_w = step % 2
+    par_r = (step + 1) % 2
+    tbl = cache["table"]
+    asrc = cache["act_src"]
+
+    def materialize(buf, act):
+        # buf: (N, U, M) one layer's main cache; act: (N, 2, P, M)
+        pages = buf.reshape(n, up, _PAGE, m)
+        g = jnp.take_along_axis(pages, tbl[:, :, None, None], axis=0)
+        act_page = jnp.take(jnp.take(act, asrc, axis=0), par_r, axis=1)
+        pidx = jnp.arange(up)[None, :, None, None]
+        merged = jnp.where(pidx == p_act, act_page[:, None], g)
+        return merged.reshape(n, u, m)
+
+    self_mask = mask_nu[:, None, None, :]
+
+    def make(i, attn):
+        def attend(qh, kh, vh):
+            k_buf = materialize(cache["k"][i], cache["k_act"][i])
+            v_buf = materialize(cache["v"][i], cache["v_act"][i])
+            scales = (
+                (cache["k_scale"][i], cache["v_scale"][i]) if quant else (None, None)
+            )
+            return attn.attend_cached(
+                qh, kh, vh, k_buf, v_buf, self_mask, step,
+                k_scale=scales[0], v_scale=scales[1],
+            )
+
+        return attend
+
+    def finalize(khs, vhs):
+        ks = jnp.stack(khs)[:, :, 0]  # (L, N, M) f32
+        vs = jnp.stack(vhs)[:, :, 0]
+        out = {key: cache[key] for key in cache if key != "tokens"}
+        gk = jnp.take(jnp.take(cache["k_act"], asrc, axis=1), par_r, axis=2)
+        gv = jnp.take(jnp.take(cache["v_act"], asrc, axis=1), par_r, axis=2)
+        if quant:
+            k_amax = jnp.maximum(jnp.max(jnp.abs(ks), axis=-1, keepdims=True), 1e-6)
+            v_amax = jnp.maximum(jnp.max(jnp.abs(vs), axis=-1, keepdims=True), 1e-6)
+            kf = jnp.clip(jnp.round(ks * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+            vf = jnp.clip(jnp.round(vs * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+            l = ks.shape[0]
+            out["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], (k_amax / 127.0).reshape(l, n, 1), (0, 0, step)
+            )
+            out["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], (v_amax / 127.0).reshape(l, n, 1), (0, 0, step)
+            )
+        else:
+            kf = ks.astype(cache["k"].dtype)
+            vf = vs.astype(cache["v"].dtype)
+        posP = jnp.arange(_PAGE)[None, None, :, None]
+        mk = jnp.where(posP == o, kf[:, :, None, :], gk)  # (L, N, P, M)
+        mv = jnp.where(posP == o, vf[:, :, None, :], gv)
+        out["k_act"] = jax.lax.dynamic_update_slice(
+            cache["k_act"], mk[:, :, None], (0, 0, par_w, 0, 0)
+        )
+        out["v_act"] = jax.lax.dynamic_update_slice(
+            cache["v_act"], mv[:, :, None], (0, 0, par_w, 0, 0)
+        )
+        km = jax.lax.dynamic_update_slice(cache["k"], mk, (0, 0, p_act * _PAGE, 0))
+        vm = jax.lax.dynamic_update_slice(cache["v"], mv, (0, 0, p_act * _PAGE, 0))
+        completes = o == (_PAGE - 1)
+        out["k"] = jnp.where(completes, km, cache["k"])
+        out["v"] = jnp.where(completes, vm, cache["v"])
+        return out
+
+    return [make(i, a) for i, a in enumerate(attns)], finalize
 
 
 def _make_attends(layers, attns, cache, mask_nu, step, nhead):
@@ -128,10 +277,11 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
     just returns them. Elsewhere: MultiHeadAttention.attend_cached on
     per-layer slices + one stacked dynamic_update_slice in ``finalize``.
     """
-    from ..ops.pallas.attention_step import max_u_for_kernel
+    from ..ops.pallas.attention_step import _PAGE, max_u_for_kernel
 
     n, u = mask_nu.shape
     m = cache["k"].shape[-1]
+    paged = "table" in cache
     use_kernel = (
         jax.default_backend() == "tpu"
         and m % 128 == 0
@@ -141,10 +291,13 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         # chunked online-softmax kernel streams U (attention_step.py), so
         # this cap is only a pathological-shape backstop for the jnp path
         and u <= max_u_for_kernel(m, max(cache["k"].dtype.itemsize, 2))
+        and not (paged and u % _PAGE)
     )
     quant = "k_scale" in cache
     if use_kernel:
-        from ..ops.pallas.attention_step import cached_attention_step, head_segments
+        from ..ops.pallas.attention_step import (
+            cached_attention_step, cached_attention_step_paged, head_segments,
+        )
 
         seg = head_segments(m, nhead)
         cell = dict(cache)
@@ -155,13 +308,30 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
                     {"k_scale": cell["k_scale"][i], "v_scale": cell["v_scale"][i]}
                     if quant else {}
                 )
-                res = cached_attention_step(
-                    qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
-                    mask_nu, cell["k"], cell["v"], step, i, nhead, seg,
-                    **scales,
-                )
+                if paged:
+                    res = cached_attention_step_paged(
+                        qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
+                        mask_nu, cell["k"], cell["v"],
+                        cell["k_act"], cell["v_act"],
+                        cell["table"], cell["act_src"], step, i, nhead, seg,
+                        **scales,
+                    )
+                    if quant:
+                        (out, cell["k"], cell["v"], cell["k_act"],
+                         cell["v_act"], kso, vso) = res
+                    else:
+                        out, cell["k"], cell["v"], cell["k_act"], cell["v_act"] = res
+                else:
+                    res = cached_attention_step(
+                        qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
+                        mask_nu, cell["k"], cell["v"], step, i, nhead, seg,
+                        **scales,
+                    )
+                    if quant:
+                        out, cell["k"], cell["v"], kso, vso = res
+                    else:
+                        out, cell["k"], cell["v"] = res
                 if quant:
-                    out, cell["k"], cell["v"], kso, vso = res
                     # fresh position's scales -> (L, N, U) arrays
                     cell["k_scale"] = jax.lax.dynamic_update_slice(
                         cell["k_scale"], kso[:, 0].reshape(1, n, 1), (i, 0, step)
@@ -169,8 +339,6 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
                     cell["v_scale"] = jax.lax.dynamic_update_slice(
                         cell["v_scale"], vso[:, 0].reshape(1, n, 1), (i, 0, step)
                     )
-                else:
-                    out, cell["k"], cell["v"] = res
                 return out.reshape(n, 1, nhead, m // nhead)
 
             return attend
@@ -179,6 +347,9 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
             return {key: cell[key] for key in cache if key != "tokens"}
 
         return [make(i) for i in range(len(layers))], finalize
+
+    if paged:
+        return _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant)
 
     self_mask = mask_nu[:, None, None, :]
 

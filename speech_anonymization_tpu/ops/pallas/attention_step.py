@@ -398,6 +398,216 @@ def _kernel_chunked(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     wbv.wait()
 
 
+_PAGE = 32    # paged-mode page size (positions); make_kv_cache pads U to it
+_PDEPTH = 16  # in-flight per-(row, page) DMAs in the paged kernel
+
+
+def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
+                  mask_ref, seg_ref, *rest, layer, tn, d_head, quant):
+    """Paged-cache variant of the whole-row kernel (lazy beam reorder).
+
+    The beam search never physically reorders a paged cache. Instead the
+    cache carries an ownership table: COMPLETED ``_PAGE``-position pages
+    of row ``n`` live at ``(tbl[n, p], p)`` of the main cache, and the
+    ACTIVE page (the one containing ``step``) lives in a parity-slotted
+    side buffer ``ak/av (L, N, 2, P, M)``: at step ``t`` the content of
+    positions ``p_act*P .. t-1`` for row ``n`` was written at step
+    ``t-1`` by row ``asrc[n]`` (this row's beam parent) into parity slot
+    ``(t-1) % 2``. This kernel DMAs the live pages through that
+    indirection (one descriptor per (row, page) — the descriptor-count
+    price of indirection), computes the same masked softmax-attention as
+    ``_kernel``, then writes the MERGED active page (parent content +
+    fresh k/v at ``step``) to its OWN row: into parity slot ``t % 2``
+    normally, or into the main cache when ``step`` completes the page.
+    Writers and readers always touch opposite parity slots and no
+    invocation reads the main-cache page being completed, so in-place
+    aliasing stays race-free across grid tiles. The standalone
+    beam-reorder pass — a full read+write of every live cache byte per
+    step, as large as the attention reads themselves (BENCHMARKS.md) —
+    disappears; reorder becomes an int-table gather in jnp.
+    """
+    if quant:
+        (ksl_ref, vsl_ref, ck_ref, cv_ref, ak_ref, av_ref,
+         out_ref, cko_ref, cvo_ref, ako_ref, avo_ref, kso_ref, vso_ref,
+         ksc, vsc, kwb, vwb, sems) = rest
+    else:
+        (ck_ref, cv_ref, ak_ref, av_ref,
+         out_ref, cko_ref, cvo_ref, ako_ref, avo_ref,
+         ksc, vsc, kwb, vwb, sems) = rest
+    i = pl.program_id(0)
+    row0 = i * tn
+    step = step_ref[0]
+    p_act = step // _PAGE
+    o = step - p_act * _PAGE
+    par_w = jax.lax.rem(step, 2)
+    par_r = jax.lax.rem(step + 1, 2)
+
+    # ---- completed pages: one DMA pair per (row, page) via the table.
+    # All copies are the same size, so semaphore slots can be reused in
+    # issue order (same contract as beam_gather's pipeline).
+    safe = jnp.maximum(p_act, 1)  # avoid div-by-0 when the loop is empty
+
+    def cp(idx):
+        r = idx // safe
+        p = jax.lax.rem(idx, safe)
+        src = tbl_ref[row0 + r, p]
+        slot = jax.lax.rem(idx, _PDEPTH)
+        return (
+            pltpu.make_async_copy(
+                ck_ref.at[layer, src, pl.ds(p * _PAGE, _PAGE), :],
+                ksc.at[r, pl.ds(p * _PAGE, _PAGE), :],
+                sems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                cv_ref.at[layer, src, pl.ds(p * _PAGE, _PAGE), :],
+                vsc.at[r, pl.ds(p * _PAGE, _PAGE), :],
+                sems.at[1, slot],
+            ),
+        )
+
+    total = tn * p_act
+
+    def start_body(idx, _):
+        @pl.when(idx >= _PDEPTH)
+        def _():
+            for c in cp(idx - _PDEPTH):
+                c.wait()
+
+        for c in cp(idx):
+            c.start()
+        return 0
+
+    jax.lax.fori_loop(0, total, start_body, 0)
+
+    # ---- active page: per-row DMA from the beam parent's parity slot
+    def ap(r):
+        src = asrc_ref[row0 + r]
+        slot = jax.lax.rem(r, _PDEPTH)
+        return (
+            pltpu.make_async_copy(
+                ak_ref.at[layer, src, par_r, :, :],
+                ksc.at[r, pl.ds(p_act * _PAGE, _PAGE), :],
+                sems.at[2, slot],
+            ),
+            pltpu.make_async_copy(
+                av_ref.at[layer, src, par_r, :, :],
+                vsc.at[r, pl.ds(p_act * _PAGE, _PAGE), :],
+                sems.at[3, slot],
+            ),
+        )
+
+    @pl.when(o > 0)
+    def _():
+        def ab(r, _):
+            for c in ap(r):
+                c.start()
+            return 0
+
+        jax.lax.fori_loop(0, tn, ab, 0)
+
+    def drain(idx, _):
+        for c in cp(idx):
+            c.wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(total - _PDEPTH, 0), total, drain, 0)
+
+    @pl.when(o > 0)
+    def _():
+        def aw(r, _):
+            for c in ap(r):
+                c.wait()
+            return 0
+
+        jax.lax.fori_loop(0, tn, aw, 0)
+
+    # ---- compute: identical math to _kernel (fresh token replaces the
+    # column at `step`, invalid positions zeroed before the value sum)
+    u = ksc.shape[1]
+    m = ksc.shape[2]
+    h = m // d_head
+    seg = seg_ref[...]
+    pos3 = jax.lax.broadcasted_iota(jnp.int32, (tn, u, 1), 1)
+    at_step = pos3 == step
+    mask3 = mask_ref[...].astype(jnp.int32)[:, :, None]
+    valid = (pos3 <= step) & (mask3 != 0)
+    if quant:
+        kh_f = kh_ref[...].astype(jnp.float32)
+        vh_f = vh_ref[...].astype(jnp.float32)
+        k_amax = jnp.maximum(jnp.max(jnp.abs(kh_f), axis=1, keepdims=True), 1e-6)
+        v_amax = jnp.maximum(jnp.max(jnp.abs(vh_f), axis=1, keepdims=True), 1e-6)
+        kq = jnp.clip(jnp.round(kh_f * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vh_f * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+        kso_ref[...] = jnp.broadcast_to(k_amax * (1.0 / 127.0), kso_ref.shape)
+        vso_ref[...] = jnp.broadcast_to(v_amax * (1.0 / 127.0), vso_ref.shape)
+        kd = ksc[...].astype(jnp.bfloat16) * ksl_ref[...][:, :, None].astype(jnp.bfloat16)
+        vd = vsc[...].astype(jnp.float32) * vsl_ref[...][:, :, None]
+    else:
+        kd = ksc[...].astype(jnp.bfloat16)
+        vd = vsc[...].astype(jnp.float32)
+    kk = jnp.where(at_step, kh_ref[...][:, None, :].astype(jnp.bfloat16), kd)
+    vv = jnp.where(at_step, vh_ref[...][:, None, :].astype(jnp.float32), vd)
+    vv = jnp.where(valid | at_step, vv, 0.0)
+
+    q = q_ref[...].astype(jnp.bfloat16)
+    prod = q[:, None, :] * kk
+    scores = jnp.dot(
+        prod.reshape(tn * u, m), seg, preferred_element_type=jnp.float32
+    ).reshape(tn, u, h) * (1.0 / math.sqrt(d_head))
+    scores = jnp.where(valid, scores, NEG_INF)
+    mx = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - mx)
+    w = e / jnp.sum(e, axis=1, keepdims=True)
+    wexp = jnp.dot(
+        w.astype(jnp.bfloat16).reshape(tn * u, h), seg.T,
+        preferred_element_type=jnp.float32,
+    ).reshape(tn, u, m)
+    out_ref[...] = jnp.sum(wexp * vv, axis=1).astype(out_ref.dtype)
+
+    # ---- writeback: the MERGED active page (parent content at positions
+    # < step, fresh k/v at `step`, junk beyond — never read: every later
+    # step re-writes the full page before its positions become <= step)
+    posP = jax.lax.broadcasted_iota(jnp.int32, (tn, _PAGE, 1), 1) + p_act * _PAGE
+    atP = posP == step
+    act_k = ksc[:, pl.ds(p_act * _PAGE, _PAGE), :]
+    act_v = vsc[:, pl.ds(p_act * _PAGE, _PAGE), :]
+    if quant:
+        kwb[...] = jnp.where(atP, kq[:, None, :], act_k)
+        vwb[...] = jnp.where(atP, vq[:, None, :], act_v)
+    else:
+        kwb[...] = jnp.where(atP, kh_ref[...][:, None, :].astype(kwb.dtype), act_k)
+        vwb[...] = jnp.where(atP, vh_ref[...][:, None, :].astype(vwb.dtype), act_v)
+    completes = o == (_PAGE - 1)
+
+    @pl.when(completes)
+    def _():
+        wk = pltpu.make_async_copy(
+            kwb, cko_ref.at[layer, pl.ds(row0, tn), pl.ds(p_act * _PAGE, _PAGE), :],
+            sems.at[4, 0],
+        )
+        wv = pltpu.make_async_copy(
+            vwb, cvo_ref.at[layer, pl.ds(row0, tn), pl.ds(p_act * _PAGE, _PAGE), :],
+            sems.at[4, 1],
+        )
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    @pl.when(jnp.logical_not(completes))
+    def _():
+        wk = pltpu.make_async_copy(
+            kwb, ako_ref.at[layer, pl.ds(row0, tn), par_w, :, :], sems.at[4, 0]
+        )
+        wv = pltpu.make_async_copy(
+            vwb, avo_ref.at[layer, pl.ds(row0, tn), par_w, :, :], sems.at[4, 1]
+        )
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+
 _VMEM_BUDGET = 10 * 2**20  # k+v scratch tiles together
 
 
@@ -570,6 +780,118 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
         ),
         interpret=interpret,
     )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
+def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
+                          table, act_src, step, seg, layer, d_head,
+                          interpret=False, k_scale=None, v_scale=None):
+    n, m = q.shape
+    l, _, u, _ = cache_k.shape
+    quant = cache_k.dtype == jnp.int8
+    eff_itemsize = max(cache_k.dtype.itemsize, 2)
+    tn = _pick_tile(n, u, m, eff_itemsize)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_spec = pl.BlockSpec((tn, m), lambda i, *_: (i, 0))
+    ul_spec = pl.BlockSpec((tn, u), lambda i, *_: (i, 0))
+    in_specs = [
+        row_spec, row_spec, row_spec, ul_spec,
+        pl.BlockSpec((m, m // d_head), lambda i, *_: (0, 0)),
+    ]
+    out_specs = [row_spec, any_spec, any_spec, any_spec, any_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, m), jnp.float32),
+        jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        jax.ShapeDtypeStruct(act_k.shape, act_k.dtype),
+        jax.ShapeDtypeStruct(act_v.shape, act_v.dtype),
+    ]
+    operands = [step, table, act_src, q, kh, vh, mask, seg]
+    if quant:
+        in_specs += [ul_spec, ul_spec]
+        operands += [k_scale, v_scale]
+        sc_spec = pl.BlockSpec((tn, 128), lambda i, *_: (i, 0))
+        out_specs += [sc_spec, sc_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        ]
+        aliases = {10: 1, 11: 2, 12: 3, 13: 4}
+    else:
+        aliases = {8: 1, 9: 2, 10: 3, 11: 4}
+    in_specs += [any_spec, any_spec, any_spec, any_spec]
+    operands += [cache_k, cache_v, act_k, act_v]
+    scratch = [
+        pltpu.VMEM((tn, u, m), cache_k.dtype),
+        pltpu.VMEM((tn, u, m), cache_v.dtype),
+        pltpu.VMEM((tn, _PAGE, m), cache_k.dtype),
+        pltpu.VMEM((tn, _PAGE, m), cache_v.dtype),
+        pltpu.SemaphoreType.DMA((5, _PDEPTH)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n // tn,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_paged, layer=layer, tn=tn, d_head=d_head, quant=quant),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * u * m,
+            bytes_accessed=2 * n * u * m * cache_k.dtype.itemsize,
+            transcendentals=n * u * (m // d_head),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def cached_attention_step_paged(
+    q: jax.Array,
+    kh: jax.Array,
+    vh: jax.Array,
+    mask: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    act_k: jax.Array,
+    act_v: jax.Array,
+    table: jax.Array,
+    act_src: jax.Array,
+    step,
+    layer: int,
+    nhead: int,
+    seg: jax.Array | None = None,
+    interpret: bool = False,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """One layer's cached attention over a PAGED cache (lazy beam reorder).
+
+    Same contract as :func:`cached_attention_step`, plus the paging state:
+    ``table (N, U/_PAGE)`` int32 — owner row of each COMPLETED page;
+    ``act_src (N,)`` int32 — beam parent whose parity slot holds this
+    row's active-page content; ``act_k/act_v (L, N, 2, _PAGE, M)`` — the
+    parity-slotted active-page side buffers. ``mask`` and the int8 dequant
+    scales are indexed by OWN row (the beam search physically reorders
+    tokens/scales — they are small). Returns
+    ``(out, new_ck, new_cv, new_ak, new_av[, kso, vso])`` with all cache
+    outputs aliasing their operands. The caller never reorders ck/cv/ak/av
+    — see models.transformer.beam_reorder_cache's paged branch.
+    """
+    n, m = q.shape
+    if seg is None:
+        seg = head_segments(m, nhead)
+    step = jnp.asarray(step, jnp.int32).reshape((1,))
+    return _attn_step_paged_call(
+        q.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+        mask.astype(jnp.int8), cache_k, cache_v, act_k, act_v,
+        table.astype(jnp.int32), act_src.astype(jnp.int32), step, seg,
+        layer=layer, d_head=m // nhead, interpret=interpret,
+        k_scale=k_scale, v_scale=v_scale,
+    )
 
 
 def head_segments(d_model: int, nhead: int) -> jax.Array:

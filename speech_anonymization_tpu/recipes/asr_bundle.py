@@ -83,7 +83,9 @@ class ASRBundle:
         self._encode_jit = jax.jit(encode)
 
         def decode(variables, lm_variables, feats, lens, beam_size, length_norm, lm_weight):
-            from ..models.transformer import beam_reorder_cache, make_kv_cache
+            from ..models.transformer import (
+                beam_reorder_cache, make_kv_cache, use_paged_cache,
+            )
 
             enc = encode(variables, feats, lens)
             ctc_logits = self.model.apply(
@@ -106,9 +108,15 @@ class ASRBundle:
                 "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
             }[self.hparams.get("decode_cache_dtype", "float32")]
 
+            # paged (lazy-beam-reorder) caches on TPU by default: the
+            # physical per-step cache reorder disappears (see
+            # beam_reorder_cache). `decode_paged_kv: false` opts out.
+            want_paged = bool(self.hparams.get("decode_paged_kv", True))
             att_cached = (
                 lambda n, u_max: make_kv_cache(
-                    n, u_max, m.num_decoder_layers, m.nhead, d_head, dtype=cache_dtype
+                    n, u_max, m.num_decoder_layers, m.nhead, d_head, dtype=cache_dtype,
+                    paged=want_paged
+                    and use_paged_cache(n, u_max, m.d_model, cache_dtype),
                 ),
                 lambda state, prev_tok, step: self.model.apply(
                     variables, prev_tok, enc, state, step, lens, cross,
@@ -123,6 +131,8 @@ class ASRBundle:
                     lambda n, u_max: make_kv_cache(
                         n, u_max, self.lm.num_layers, self.lm.nhead, lm_d_head,
                         dtype=cache_dtype,
+                        paged=want_paged
+                        and use_paged_cache(n, u_max, self.lm.d_model, cache_dtype),
                     ),
                     lambda state, prev_tok, step: self.lm.apply(
                         lm_variables, prev_tok, state, step,

@@ -63,6 +63,7 @@ class ASRBrain(Brain):
         self.epoch_counter: EpochCounter = hparams["epoch_counter"]
         self.noam: NoamScheduler = hparams.get("noam_annealing") or NoamScheduler(
             lr_initial=float(hparams.get("lr_adam", 1.0)),
+            n_warmup_steps=int(hparams.get("n_warmup_steps", 25000)),
             model_size=int(hparams.get("d_model", 768)),
         )
         self.ctc_weight = float(hparams.get("ctc_weight", 0.3))
@@ -168,7 +169,9 @@ class ASRBrain(Brain):
         self._eval_loss = jax.jit(eval_loss)
 
         def decode(params, model_state, norm_state, wavs, lens, epoch, beam_size, length_norm):
-            from ..models.transformer import beam_reorder_cache, make_kv_cache
+            from ..models.transformer import (
+                beam_reorder_cache, make_kv_cache, use_paged_cache,
+            )
 
             feats, _ = self._features(norm_state, wavs, lens, epoch, False)
             variables = {"params": params, **model_state}
@@ -186,10 +189,13 @@ class ASRBrain(Brain):
             cache_dtype = {
                 "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
             }[self.hparams.get("decode_cache_dtype", "float32")]
+            want_paged = bool(self.hparams.get("decode_paged_kv", True))
             att_cached = (
                 lambda n, u_max: make_kv_cache(
                     n, u_max, m.num_decoder_layers, m.nhead, m.d_model // m.nhead,
                     dtype=cache_dtype,
+                    paged=want_paged
+                    and use_paged_cache(n, u_max, m.d_model, cache_dtype),
                 ),
                 lambda state, prev_tok, step: self.model.apply(
                     variables, prev_tok, enc, state, step, lens, cross,

@@ -1,0 +1,210 @@
+"""Paged (lazy-beam-reorder) KV caches must be indistinguishable from the
+physically-reordered path.
+
+Three layers of coverage:
+  * the Pallas paged kernel's full protocol (ownership table, parity
+    slots, page completion, beam reorders between steps) in interpret
+    mode against a ground-truth physically-maintained cache;
+  * the same for int8 quantized caches;
+  * full beam_search decode on CPU (jnp materializing fallback) — paged
+    hypotheses and scores must equal the physical-reorder path exactly.
+
+The beam reorder of a paged cache moves no k/v bytes (see
+models.transformer.beam_reorder_cache); the reference operation being
+replaced is SpeechBrain's permute_mem index_select
+(/root/reference/speechbrain_configs/convae.yaml:226-240 decode config).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_anonymization_tpu.decoding import BeamSearchConfig, beam_search
+from speech_anonymization_tpu.decoding.beam_search import hyps_to_lists
+from speech_anonymization_tpu.models.asr import ASRModel
+from speech_anonymization_tpu.models.transformer import (
+    beam_reorder_cache,
+    make_kv_cache,
+)
+from speech_anonymization_tpu.ops.pallas.attention_step import (
+    _PAGE,
+    cached_attention_step_paged,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _ref_attend(q, kh_new, vh_new, kb, vb, step, nhead):
+    """Reference cached-attention math over EXPLICIT f32 content buffers
+    (same bf16 casts as the kernel's score path, f32 accumulation)."""
+    n, m = q.shape
+    d = m // nhead
+    u = kb.shape[1]
+    kb = kb.reshape(n, u, nhead, d).astype(jnp.float32)
+    vb = vb.reshape(n, u, nhead, d).astype(jnp.float32)
+    kb = kb.at[:, step].set(
+        kh_new.astype(jnp.bfloat16).astype(jnp.float32).reshape(n, nhead, d)
+    )
+    vb = vb.at[:, step].set(
+        vh_new.astype(jnp.float32).reshape(n, nhead, d)
+    )
+    qh = q.astype(jnp.bfloat16).astype(jnp.float32).reshape(n, 1, nhead, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kb) / math.sqrt(d)
+    pos = jnp.arange(u)[None, None, None, :]
+    scores = jnp.where(pos <= step, scores, -1e30)
+    w = jax.nn.softmax(scores, -1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, vb).reshape(n, m)
+
+
+def _random_parent(rng, b, k):
+    return jnp.asarray(rng.integers(0, k, size=(b, k)), jnp.int32)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+def test_paged_kernel_protocol_interpret(dtype):
+    """Drive the paged kernel through 2*_PAGE+6 decode steps with a random
+    beam reorder after every step, crossing a page-completion boundary,
+    and compare every attention output (and the final reconstructable
+    cache content) against a physically-maintained ground truth."""
+    rng = np.random.default_rng(0)
+    L, B, K, M, H = 2, 2, 4, 256, 4
+    N = B * K
+    steps = 2 * _PAGE + 6
+    U = -(-(steps + 1) // _PAGE) * _PAGE
+    quant = dtype == jnp.int8
+
+    pc = make_kv_cache(N, U, L, H, M // H, dtype=dtype, paged=True)
+    assert pc["k"].shape == (L, N, U, M) and "table" in pc
+    mask = jnp.ones((N, U), jnp.int8)
+
+    # ground truth: physically-reordered DEQUANTIZED content + raw scales
+    k_true = np.zeros((L, N, U, M), np.float32)
+    v_true = np.zeros((L, N, U, M), np.float32)
+
+    for t in range(steps):
+        for l in range(L):
+            q = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+            kh = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+            vh = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+            scales = (
+                {"k_scale": pc["k_scale"][l], "v_scale": pc["v_scale"][l]}
+                if quant else {}
+            )
+            res = cached_attention_step_paged(
+                q, kh, vh, mask, pc["k"], pc["v"], pc["k_act"], pc["v_act"],
+                pc["table"], pc["act_src"], t, l, H, interpret=True, **scales,
+            )
+            if quant:
+                out, pc["k"], pc["v"], pc["k_act"], pc["v_act"], kso, vso = res
+                pc["k_scale"] = pc["k_scale"].at[l, :, t].set(kso[:, 0])
+                pc["v_scale"] = pc["v_scale"].at[l, :, t].set(vso[:, 0])
+            else:
+                out, pc["k"], pc["v"], pc["k_act"], pc["v_act"] = res
+
+            want = _ref_attend(
+                q, kh, vh, jnp.asarray(k_true[l]), jnp.asarray(v_true[l]), t, H
+            )
+            err = float(jnp.max(jnp.abs(out - want)))
+            rel = err / max(float(jnp.max(jnp.abs(want))), 1e-9)
+            tol = 4e-2 if quant else 2e-2
+            assert rel < tol, (t, l, rel)
+
+            # ground truth stores what the cache stores (the kernel's own
+            # quant/cast), DEQUANTIZED the way the kernel dequantizes
+            if quant:
+                # the kernel wrapper casts kh/vh to bf16 before quantizing
+                kh_f = np.asarray(kh.astype(jnp.bfloat16), np.float32)
+                vh_f = np.asarray(vh.astype(jnp.bfloat16), np.float32)
+                ka = np.maximum(np.max(np.abs(kh_f), axis=1, keepdims=True), 1e-6)
+                va = np.maximum(np.max(np.abs(vh_f), axis=1, keepdims=True), 1e-6)
+                kq = np.clip(np.round(kh_f * (127.0 / ka)), -127, 127)
+                vq = np.clip(np.round(vh_f * (127.0 / va)), -127, 127)
+                kd = (kq.astype(jnp.bfloat16) * (ka / 127.0).astype(jnp.bfloat16))
+                k_true[l][:, t] = np.asarray(kd, np.float32)
+                v_true[l][:, t] = vq * (va / 127.0)
+            else:
+                k_true[l][:, t] = np.asarray(kh.astype(dtype), np.float32)
+                v_true[l][:, t] = np.asarray(vh.astype(dtype), np.float32)
+
+        parent = _random_parent(rng, B, K)
+        src = np.asarray(
+            (parent + jnp.arange(B)[:, None] * K).reshape(-1), np.int32
+        )
+        pc = beam_reorder_cache(pc, parent, t)
+        k_true = k_true[:, src]
+        v_true = v_true[:, src]
+
+    # final state: reconstruct logical content from pages + parity slots
+    # and compare every position <= last step against the ground truth
+    last = steps - 1
+    p_act, o = divmod(last, _PAGE)
+    tbl = np.asarray(pc["table"])
+    asrc = np.asarray(pc["act_src"])
+    par = last % 2  # the slot the kernel wrote at the last step
+    for arr, true in ((pc["k"], k_true), (pc["v"], v_true)):
+        main = np.asarray(arr, np.float32) if not quant else np.asarray(arr)
+        got = np.zeros((L, N, last + 1, M), np.float32)
+        for n in range(N):
+            for p in range(p_act):
+                got[:, n, p * _PAGE : (p + 1) * _PAGE] = main[
+                    :, tbl[n, p], p * _PAGE : (p + 1) * _PAGE
+                ]
+        act = np.asarray(pc["k_act"] if arr is pc["k"] else pc["v_act"])
+        for n in range(N):
+            got[:, n, p_act * _PAGE : last + 1] = act[:, asrc[n], par, : o + 1]
+        if quant:
+            sc = np.asarray(
+                pc["k_scale"] if arr is pc["k"] else pc["v_scale"], np.float32
+            )
+            if arr is pc["k"]:  # kernel dequantizes k in bf16
+                got = np.asarray(
+                    got.astype(jnp.bfloat16)
+                    * sc[:, :, : last + 1, None].astype(jnp.bfloat16),
+                    np.float32,
+                )
+            else:
+                got = got * sc[:, :, : last + 1, None]
+        np.testing.assert_allclose(
+            got, true[:, :, : last + 1], rtol=2e-2, atol=2e-3
+        )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+def test_beam_search_paged_equals_physical(dtype):
+    """Full CPU decode (jnp materializing fallback) across page boundaries:
+    paged and physical caches must produce identical hypotheses and
+    near-identical scores."""
+    model = ASRModel(d_model=32, nhead=4, num_encoder_layers=1,
+                     num_decoder_layers=2, d_ffn=64, output_neurons=24)
+    feats = jax.random.normal(KEY, (2, 24, 80))
+    tokens = jnp.asarray([[1, 5, 6], [1, 7, 3]])
+    lens = jnp.asarray([1.0, 0.75])
+    variables = model.init(KEY, feats, tokens, lens)
+    enc = model.apply(variables, feats, lens, method=ASRModel.encode)
+    ctc_logits = model.apply(variables, enc, method=lambda m, e: m.heads.ctc_logits(e))
+    p_ctc = jax.nn.log_softmax(ctc_logits, -1)
+    cfg = BeamSearchConfig(beam_size=3, ctc_weight=0.4, length_normalization=True)
+
+    outs = {}
+    for paged in (False, True):
+        att_cached = (
+            lambda n, u_max, paged=paged: make_kv_cache(
+                n, u_max, 2, 4, 8, dtype=dtype, paged=paged
+            ),
+            lambda state, prev, step: model.apply(
+                variables, prev, enc, state, step, lens,
+                method=ASRModel.decode_step_cached,
+            ),
+            beam_reorder_cache,
+        )
+        # > _PAGE steps so pages complete and the ownership table carries
+        outs[paged] = beam_search(
+            None, enc, lens, p_ctc, cfg, max_steps=_PAGE + 8, att_cached=att_cached
+        )
+    assert hyps_to_lists(*outs[False][:2]) == hyps_to_lists(*outs[True][:2])
+    np.testing.assert_allclose(
+        np.asarray(outs[False][2]), np.asarray(outs[True][2]), atol=1e-5
+    )
