@@ -170,39 +170,74 @@ def main():
     os.makedirs(work, exist_ok=True)
     root = os.path.join(work, "corpus")
     if not os.path.exists(os.path.join(root, "SPEAKERS.TXT")):
-        speakers, total_s = build_corpus(root)
+        # 30 utts/speaker: enough data that the tiny utility ASR actually
+        # learns the acoustics (at 10 it memorized a word-prior and test
+        # WER saturated ~85%)
+        speakers, total_s = build_corpus(root, utts=30)
         print(f"corpus: {len(speakers)} speakers, {total_s/60:.1f} min audio")
     test_csv = os.path.join(root, "test-clean.csv")
 
+    # Stages cache their headline stats next to their checkpoints so a
+    # stage-2 schedule iteration doesn't re-train the (deterministic,
+    # schedule-independent) evaluator/ASR stages. Delete the stage dir to
+    # force a re-run.
+    import json
+
+    def _cached(out, fn):
+        marker = os.path.join(out, "repro_stats.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)
+        stats = fn()
+        with open(marker, "w") as f:
+            json.dump(stats, f)
+        return stats
+
     # ---- stage 1: gender classifier on original audio ----------------------
     gout = os.path.join(work, "gender")
-    gb = gender_classifier.main(
-        [os.path.join(BASE, "gender_classifier.yaml")]
-        + _common(root, gout)
-        + ["--test_csv", test_csv, "--batch_size", "16",
-           "--number_of_epochs", "8"]
-    )
-    acc_orig = 1.0 - float(gb.test_stats["error"])
+
+    def _stage1():
+        gb = gender_classifier.main(
+            [os.path.join(BASE, "gender_classifier.yaml")]
+            + _common(root, gout)
+            + ["--test_csv", test_csv, "--batch_size", "16",
+               "--number_of_epochs", "8"]
+        )
+        return {"acc_orig": 1.0 - float(gb.test_stats["error"])}
+
+    acc_orig = _cached(gout, _stage1)["acc_orig"]
     print(f"[stage 1] gender ACC on ORIGINAL audio (held-out speakers): {acc_orig:.3f}")
 
     # ---- stage 1.5: tiny utility ASR (words ARE in the audio: WORD_PHONES) --
     aout = os.path.join(work, "asr")
-    ab = asr_train.main(
-        [os.path.join(BASE, "transformer.yaml")]
-        + _common(root, aout)
-        + ["--test_csv", f'["{test_csv}"]',
-           "--batch_size", "8", "--number_of_epochs", "12",
-           "--d_model", "48", "--nhead", "4", "--num_encoder_layers", "2",
-           "--num_decoder_layers", "2", "--d_ffn", "96", "--output_neurons", "40",
-           "--valid_beam_size", "2", "--test_beam_size", "4",
-           "--valid_search_interval", "100", "--noam_annealing", "null",
-           "--lr_adam", "0.003"]
-    )
-    wer_asr = float(ab.test_stats["WER"])
+
+    def _stage15():
+        ab = asr_train.main(
+            [os.path.join(BASE, "transformer.yaml")]
+            + _common(root, aout)
+            + ["--test_csv", f'["{test_csv}"]',
+               "--batch_size", "8", "--number_of_epochs", "40",
+               "--d_model", "64", "--nhead", "4", "--num_encoder_layers", "2",
+               "--num_decoder_layers", "2", "--d_ffn", "128", "--output_neurons", "40",
+               "--valid_beam_size", "2", "--test_beam_size", "4",
+               "--valid_search_interval", "100",
+               # scale-matched Noam (same reasoning as stage 2 below): peak lr
+               # = 0.35 * 64^-0.5 * 60^-0.5 ~ 5.6e-3 at step 60 of ~800
+               "--lr_adam", "0.35", "--n_warmup_steps", "60"]
+        )
+        return {"wer": float(ab.test_stats["WER"])}
+
+    wer_asr = _cached(aout, _stage15)["wer"]
     print(f"[stage 1.5] tiny ASR WER on ORIGINAL audio (held-out speakers): {wer_asr:.1f}%")
 
     # ---- stage 2: adversarial FC-AE with the evaluator attached ------------
     nout = os.path.join(work, "anon")
+    # recon0.5/sex0.5 (the shipped fullyconn_updatedsexclassifier run).
+    # The stronger recon0.1/sex0.9 schedule was tried and collapses at
+    # this scale: the AE drifts so much per adversary phase that the
+    # averaged checkpoint keeps the sex cue fully readable (ACC_ext 0.997)
+    # while losing decodability (WER 46%) — the balanced schedule is the
+    # one that demonstrates the transfer mechanism at reduced scale.
     schedule = (
         '[{"weights": {"recon": 0.5, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
         ' "train": "generator"},'
@@ -228,8 +263,8 @@ def main():
            # train_log triple — speechbrain_convae_train.py:168-183)
            "--asr_checkpoint_dir", os.path.join(aout, "save", "ckpts"),
            "--tokenizer_path", os.path.join(aout, "save", "tokenizer.json"),
-           "--d_model", "48", "--nhead", "4", "--num_encoder_layers", "2",
-           "--num_decoder_layers", "2", "--d_ffn", "96", "--output_neurons", "40",
+           "--d_model", "64", "--nhead", "4", "--num_encoder_layers", "2",
+           "--num_decoder_layers", "2", "--d_ffn", "128", "--output_neurons", "40",
            "--test_beam_size", "4",
            ]
     )
@@ -278,7 +313,7 @@ Commands (deterministic, CPU):
     python scripts/repro_gender_row.py
 
 (recipe chain: gender_classifier.yaml 8 epochs -> transformer.yaml tiny
-ASR (48d, 2+2 layers, beam 4) 12 epochs -> convae.yaml fcae, adversarial
+ASR (64d, 2+2 layers, beam 4) 40 epochs -> convae.yaml fcae, adversarial
 schedule recon0.5/sex0.5 + sex_classifier phase, 40 epochs (lr_adam 0.55,
 n_warmup_steps 100 -> peak lr ~2e-3 at this step count), external
 evaluator from stage 1 + ASR from stage 1.5 attached; disjoint test

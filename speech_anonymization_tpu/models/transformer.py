@@ -36,17 +36,17 @@ def lengths_to_padding_mask(lengths: jax.Array, max_len: int) -> jax.Array:
 
 def use_paged_cache(batch: int, u_max: int, d_model: int, dtype) -> bool:
     """True when the paged (lazy-beam-reorder) decode path applies: TPU
-    backend, fused-kernel-compatible shapes, and a cache short enough for
-    the whole-row kernel's VMEM scratch. The paged path eliminates the
-    per-step physical cache reorder — see beam_reorder_cache."""
-    from ..ops.pallas.attention_step import _PAGE, max_u_whole_row
+    backend and fused-kernel-compatible shapes. Short caches ride the
+    paged whole-row kernel, long ones the paged chunked kernel. The paged
+    path eliminates the per-step physical cache reorder — see
+    beam_reorder_cache."""
+    from ..ops.pallas.attention_step import max_u_for_kernel
 
-    u_pad = -(-u_max // _PAGE) * _PAGE
     return (
         jax.default_backend() == "tpu"
         and d_model % 128 == 0
         and batch % 8 == 0
-        and u_pad <= max_u_whole_row(d_model, max(jnp.dtype(dtype).itemsize, 2))
+        and u_max <= max_u_for_kernel(d_model, max(jnp.dtype(dtype).itemsize, 2))
     )
 
 
@@ -79,12 +79,13 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
     # long caches take the CHUNKED attention kernel, whose DMA grain must
     # divide U; a 64-multiple U enables 64-position chunks instead of the
     # 8-position floor (57 tiny serial DMAs per step at e.g. U=456)
-    from ..ops.pallas.attention_step import _PAGE, max_u_whole_row
+    from ..ops.pallas.attention_step import _PAGE, _PAGE_LONG, max_u_whole_row
+    page = _PAGE
     if u_max > max_u_whole_row(nhead * d_head, max(jnp.dtype(dtype).itemsize, 2)):
         u_max = -(-u_max // 64) * 64
-        paged = False  # paged mode rides the whole-row kernel only
+        page = _PAGE_LONG  # paged long caches: page == chunk DMA grain
     if paged:
-        u_max = -(-u_max // _PAGE) * _PAGE
+        u_max = -(-u_max // page) * page
     cache = {
         "k": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
         "v": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
@@ -101,11 +102,11 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
         # attention reads themselves) becomes an int-table gather.
         m = nhead * d_head
         cache["table"] = jnp.broadcast_to(
-            jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, u_max // _PAGE)
+            jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, u_max // page)
         )
         cache["act_src"] = jnp.arange(batch, dtype=jnp.int32)
-        cache["k_act"] = jnp.zeros((num_layers, batch, 2, _PAGE, m), dtype)
-        cache["v_act"] = jnp.zeros((num_layers, batch, 2, _PAGE, m), dtype)
+        cache["k_act"] = jnp.zeros((num_layers, batch, 2, page, m), dtype)
+        cache["v_act"] = jnp.zeros((num_layers, batch, 2, page, m), dtype)
     if dtype == jnp.int8:
         # symmetric per-(layer, row, position) dequant scales (quantized
         # serving mode — halves the cache bytes that dominate decode)
@@ -145,15 +146,14 @@ def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
         # parity slot the next attention step reads. When this step just
         # COMPLETED a page (the kernel wrote the merged page to the main
         # cache at its OWN row), that page's table column becomes src.
-        from ..ops.pallas.attention_step import _PAGE
-
         if step is None:
             raise ValueError("paged cache reorder requires the decode step")
         step = jnp.asarray(step, jnp.int32)
         up = cache["table"].shape[1]
+        page = u // up  # 32 (whole-row) or 64 (chunked) — see make_kv_cache
         tbl = jnp.take(cache["table"], src, axis=0)
-        completes = (step % _PAGE) == (_PAGE - 1)
-        col = jnp.where(completes, step // _PAGE, up)  # up = out of range
+        completes = (step % page) == (page - 1)
+        col = jnp.where(completes, step // page, up)  # up = out of range
         tbl = jnp.where(jnp.arange(up)[None, :] == col, src[:, None], tbl)
         out = {
             "k": cache["k"], "v": cache["v"],
@@ -184,14 +184,13 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
     paged kernel implements with per-(row, page) DMAs. O(full cache)
     materialization per step: a correctness oracle, not a fast path.
     """
-    from ..ops.pallas.attention_step import _PAGE
-
     n, u = mask_nu.shape
     m = cache["k"].shape[-1]
-    up = u // _PAGE
+    up = cache["table"].shape[1]
+    page = u // up  # 32 (whole-row) or 64 (chunked) — see make_kv_cache
     step = jnp.asarray(step, jnp.int32)
-    p_act = step // _PAGE
-    o = step - p_act * _PAGE
+    p_act = step // page
+    o = step - p_act * page
     par_w = step % 2
     par_r = (step + 1) % 2
     tbl = cache["table"]
@@ -199,7 +198,7 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
 
     def materialize(buf, act):
         # buf: (N, U, M) one layer's main cache; act: (N, 2, P, M)
-        pages = buf.reshape(n, up, _PAGE, m)
+        pages = buf.reshape(n, up, page, m)
         g = jnp.take_along_axis(pages, tbl[:, :, None, None], axis=0)
         act_page = jnp.take(jnp.take(act, asrc, axis=0), par_r, axis=1)
         pidx = jnp.arange(up)[None, :, None, None]
@@ -243,7 +242,7 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
         else:
             kf = ks.astype(cache["k"].dtype)
             vf = vs.astype(cache["v"].dtype)
-        posP = jnp.arange(_PAGE)[None, None, :, None]
+        posP = jnp.arange(page)[None, None, :, None]
         mk = jnp.where(posP == o, kf[:, :, None, :], gk)  # (L, N, P, M)
         mv = jnp.where(posP == o, vf[:, :, None, :], gv)
         out["k_act"] = jax.lax.dynamic_update_slice(
@@ -252,9 +251,9 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
         out["v_act"] = jax.lax.dynamic_update_slice(
             cache["v_act"], mv[:, :, None], (0, 0, par_w, 0, 0)
         )
-        km = jax.lax.dynamic_update_slice(cache["k"], mk, (0, 0, p_act * _PAGE, 0))
-        vm = jax.lax.dynamic_update_slice(cache["v"], mv, (0, 0, p_act * _PAGE, 0))
-        completes = o == (_PAGE - 1)
+        km = jax.lax.dynamic_update_slice(cache["k"], mk, (0, 0, p_act * page, 0))
+        vm = jax.lax.dynamic_update_slice(cache["v"], mv, (0, 0, p_act * page, 0))
+        completes = o == (page - 1)
         out["k"] = jnp.where(completes, km, cache["k"])
         out["v"] = jnp.where(completes, vm, cache["v"])
         return out
@@ -277,7 +276,7 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
     just returns them. Elsewhere: MultiHeadAttention.attend_cached on
     per-layer slices + one stacked dynamic_update_slice in ``finalize``.
     """
-    from ..ops.pallas.attention_step import _PAGE, max_u_for_kernel
+    from ..ops.pallas.attention_step import max_u_for_kernel
 
     n, u = mask_nu.shape
     m = cache["k"].shape[-1]
@@ -291,7 +290,6 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         # chunked online-softmax kernel streams U (attention_step.py), so
         # this cap is only a pathological-shape backstop for the jnp path
         and u <= max_u_for_kernel(m, max(cache["k"].dtype.itemsize, 2))
-        and not (paged and u % _PAGE)
     )
     quant = "k_scale" in cache
     if use_kernel:

@@ -259,9 +259,10 @@ def _kernel_chunked(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
             ),
         )
 
+    u_tot = ck_ref.shape[2]  # never statically address past the last chunk
     for cp in _flat_copies():
         cp.start()
-    for b in range(nbuf):
+    for b in range(min(nbuf, u_tot // uc)):
         @pl.when(b < nc)
         def _(b=b):
             for cp in _copies(b):
@@ -398,16 +399,17 @@ def _kernel_chunked(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
     wbv.wait()
 
 
-_PAGE = 32    # paged-mode page size (positions); make_kv_cache pads U to it
-_PDEPTH = 16  # in-flight per-(row, page) DMAs in the paged kernel
+_PAGE = 32       # page size for SHORT (whole-row-kernel) paged caches
+_PAGE_LONG = 64  # page size for LONG (chunked-kernel) paged caches = DMA grain
+_PDEPTH = 16     # in-flight per-(row, page) DMAs in the paged kernel
 
 
 def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
-                  mask_ref, seg_ref, *rest, layer, tn, d_head, quant):
+                  mask_ref, seg_ref, *rest, layer, tn, d_head, quant, page):
     """Paged-cache variant of the whole-row kernel (lazy beam reorder).
 
     The beam search never physically reorders a paged cache. Instead the
-    cache carries an ownership table: COMPLETED ``_PAGE``-position pages
+    cache carries an ownership table: COMPLETED ``page``-position pages
     of row ``n`` live at ``(tbl[n, p], p)`` of the main cache, and the
     ACTIVE page (the one containing ``step``) lives in a parity-slotted
     side buffer ``ak/av (L, N, 2, P, M)``: at step ``t`` the content of
@@ -437,8 +439,8 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
     i = pl.program_id(0)
     row0 = i * tn
     step = step_ref[0]
-    p_act = step // _PAGE
-    o = step - p_act * _PAGE
+    p_act = step // page
+    o = step - p_act * page
     par_w = jax.lax.rem(step, 2)
     par_r = jax.lax.rem(step + 1, 2)
 
@@ -454,13 +456,13 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
         slot = jax.lax.rem(idx, _PDEPTH)
         return (
             pltpu.make_async_copy(
-                ck_ref.at[layer, src, pl.ds(p * _PAGE, _PAGE), :],
-                ksc.at[r, pl.ds(p * _PAGE, _PAGE), :],
+                ck_ref.at[layer, src, pl.ds(p * page, page), :],
+                ksc.at[r, pl.ds(p * page, page), :],
                 sems.at[0, slot],
             ),
             pltpu.make_async_copy(
-                cv_ref.at[layer, src, pl.ds(p * _PAGE, _PAGE), :],
-                vsc.at[r, pl.ds(p * _PAGE, _PAGE), :],
+                cv_ref.at[layer, src, pl.ds(p * page, page), :],
+                vsc.at[r, pl.ds(p * page, page), :],
                 sems.at[1, slot],
             ),
         )
@@ -480,19 +482,20 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
     jax.lax.fori_loop(0, total, start_body, 0)
 
     # ---- active page: per-row DMA from the beam parent's parity slot
+    # (one semaphore slot PER ROW — the sems array is sized max(tn, 16),
+    # so a row's wait can never be satisfied by another row's copy)
     def ap(r):
         src = asrc_ref[row0 + r]
-        slot = jax.lax.rem(r, _PDEPTH)
         return (
             pltpu.make_async_copy(
                 ak_ref.at[layer, src, par_r, :, :],
-                ksc.at[r, pl.ds(p_act * _PAGE, _PAGE), :],
-                sems.at[2, slot],
+                ksc.at[r, pl.ds(p_act * page, page), :],
+                sems.at[2, r],
             ),
             pltpu.make_async_copy(
                 av_ref.at[layer, src, par_r, :, :],
-                vsc.at[r, pl.ds(p_act * _PAGE, _PAGE), :],
-                sems.at[3, slot],
+                vsc.at[r, pl.ds(p_act * page, page), :],
+                sems.at[3, r],
             ),
         )
 
@@ -567,26 +570,26 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
     # ---- writeback: the MERGED active page (parent content at positions
     # < step, fresh k/v at `step`, junk beyond — never read: every later
     # step re-writes the full page before its positions become <= step)
-    posP = jax.lax.broadcasted_iota(jnp.int32, (tn, _PAGE, 1), 1) + p_act * _PAGE
+    posP = jax.lax.broadcasted_iota(jnp.int32, (tn, page, 1), 1) + p_act * page
     atP = posP == step
-    act_k = ksc[:, pl.ds(p_act * _PAGE, _PAGE), :]
-    act_v = vsc[:, pl.ds(p_act * _PAGE, _PAGE), :]
+    act_k = ksc[:, pl.ds(p_act * page, page), :]
+    act_v = vsc[:, pl.ds(p_act * page, page), :]
     if quant:
         kwb[...] = jnp.where(atP, kq[:, None, :], act_k)
         vwb[...] = jnp.where(atP, vq[:, None, :], act_v)
     else:
         kwb[...] = jnp.where(atP, kh_ref[...][:, None, :].astype(kwb.dtype), act_k)
         vwb[...] = jnp.where(atP, vh_ref[...][:, None, :].astype(vwb.dtype), act_v)
-    completes = o == (_PAGE - 1)
+    completes = o == (page - 1)
 
     @pl.when(completes)
     def _():
         wk = pltpu.make_async_copy(
-            kwb, cko_ref.at[layer, pl.ds(row0, tn), pl.ds(p_act * _PAGE, _PAGE), :],
+            kwb, cko_ref.at[layer, pl.ds(row0, tn), pl.ds(p_act * page, page), :],
             sems.at[4, 0],
         )
         wv = pltpu.make_async_copy(
-            vwb, cvo_ref.at[layer, pl.ds(row0, tn), pl.ds(p_act * _PAGE, _PAGE), :],
+            vwb, cvo_ref.at[layer, pl.ds(row0, tn), pl.ds(p_act * page, page), :],
             sems.at[4, 1],
         )
         wk.start()
@@ -606,6 +609,283 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
         wv.start()
         wk.wait()
         wv.wait()
+
+
+def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
+                          mask_ref, seg_ref, *rest, layer, tn, uc, ucc, nbuf,
+                          d_head, quant):
+    """Paged variant of the chunked online-softmax kernel. The DMA grain
+    equals the page size (``uc == _PAGE_LONG``), so every chunk is exactly
+    one page: completed pages stream from their table-owner row (one
+    descriptor per (row, page)), the ACTIVE page from the beam parent's
+    parity slot, and the merged active page (parent content + fresh k/v
+    at ``step``) is written back each step — to this row's opposite
+    parity slot, or to the main cache when ``step`` completes the page.
+    Same race-free aliasing argument as ``_kernel_paged``; same online
+    softmax/fresh-seed math as ``_kernel_chunked`` (positions < step from
+    chunks, the fresh token seeded optimistically with exact removal when
+    masked)."""
+    if quant:
+        (ksl_ref, vsl_ref, ck_ref, cv_ref, ak_ref, av_ref,
+         out_ref, cko_ref, cvo_ref, ako_ref, avo_ref, kso_ref, vso_ref,
+         ksc, vsc, mall, kslall, vslall, kwb, vwb, mflag, sems, csems) = rest
+    else:
+        (ck_ref, cv_ref, ak_ref, av_ref,
+         out_ref, cko_ref, cvo_ref, ako_ref, avo_ref,
+         ksc, vsc, mall, kwb, vwb, mflag, sems, csems) = rest
+    i = pl.program_id(0)
+    row0 = i * tn
+    rows = pl.ds(row0, tn)
+    step = step_ref[0]
+    nc = (step + uc) // uc   # pages covering positions <= step
+    lastc = nc - 1           # the ACTIVE page (contains `step`)
+    o = step - lastc * uc
+    par_w = jax.lax.rem(step, 2)
+    par_r = jax.lax.rem(step + 1, 2)
+    m = q_ref.shape[1]
+    h = m // d_head
+    nsub = uc // ucc
+    seg = seg_ref[...]
+    segf = seg.astype(jnp.float32)
+    rsqrt = 1.0 / math.sqrt(d_head)
+
+    # ---- per-(row, page) DMAs; active page branches to the parity slot.
+    # Both branches move the same byte count on the same (slot, row)
+    # semaphore, so waits stay uniform.
+    def _start_chunk(c):
+        slot = jax.lax.rem(c, nbuf)
+
+        @pl.when(c != lastc)
+        def _():
+            def b(r, _):
+                src = tbl_ref[row0 + r, c]
+                pltpu.make_async_copy(
+                    ck_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                    ksc.at[slot, r], csems.at[0, slot, r],
+                ).start()
+                pltpu.make_async_copy(
+                    cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                    vsc.at[slot, r], csems.at[1, slot, r],
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, tn, b, 0)
+
+        @pl.when(c == lastc)
+        def _():
+            def b(r, _):
+                src = asrc_ref[row0 + r]
+                pltpu.make_async_copy(
+                    ak_ref.at[layer, src, par_r, :, :],
+                    ksc.at[slot, r], csems.at[0, slot, r],
+                ).start()
+                pltpu.make_async_copy(
+                    av_ref.at[layer, src, par_r, :, :],
+                    vsc.at[slot, r], csems.at[1, slot, r],
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, tn, b, 0)
+
+    def _wait_chunk(c):
+        slot = jax.lax.rem(c, nbuf)
+
+        @pl.when(c != lastc)
+        def _():
+            def b(r, _):
+                src = tbl_ref[row0 + r, c]
+                pltpu.make_async_copy(
+                    ck_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                    ksc.at[slot, r], csems.at[0, slot, r],
+                ).wait()
+                pltpu.make_async_copy(
+                    cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                    vsc.at[slot, r], csems.at[1, slot, r],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, tn, b, 0)
+
+        @pl.when(c == lastc)
+        def _():
+            def b(r, _):
+                src = asrc_ref[row0 + r]
+                pltpu.make_async_copy(
+                    ak_ref.at[layer, src, par_r, :, :],
+                    ksc.at[slot, r], csems.at[0, slot, r],
+                ).wait()
+                pltpu.make_async_copy(
+                    av_ref.at[layer, src, par_r, :, :],
+                    vsc.at[slot, r], csems.at[1, slot, r],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, tn, b, 0)
+
+    def _flat_copies():
+        cp = [pltpu.make_async_copy(mask_ref.at[:, rows, :], mall, sems.at[2, 0])]
+        if quant:
+            cp.append(pltpu.make_async_copy(
+                ksl_ref.at[:, rows, :], kslall, sems.at[2, 1]
+            ))
+            cp.append(pltpu.make_async_copy(
+                vsl_ref.at[:, rows, :], vslall, sems.at[3, 0]
+            ))
+        return cp
+
+    completes = o == (uc - 1)
+
+    u_tot = ck_ref.shape[2]  # never statically address past the last page
+    for cp in _flat_copies():
+        cp.start()
+    for b in range(min(nbuf, u_tot // uc)):
+        @pl.when(b < nc)
+        def _(b=b):
+            _start_chunk(b)
+
+    q = q_ref[...].astype(jnp.bfloat16)
+    kh_f = kh_ref[...].astype(jnp.float32)
+    vh_f = vh_ref[...].astype(jnp.float32)
+    if quant:
+        k_amax = jnp.maximum(jnp.max(jnp.abs(kh_f), axis=1, keepdims=True), 1e-6)
+        v_amax = jnp.maximum(jnp.max(jnp.abs(vh_f), axis=1, keepdims=True), 1e-6)
+        kq = jnp.clip(jnp.round(kh_f * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vh_f * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+        kso_ref[...] = jnp.broadcast_to(k_amax * (1.0 / 127.0), kso_ref.shape)
+        vso_ref[...] = jnp.broadcast_to(v_amax * (1.0 / 127.0), vso_ref.shape)
+
+    prod_new = q * kh_ref[...].astype(jnp.bfloat16)
+    s_new = jnp.dot(prod_new, seg, preferred_element_type=jnp.float32) * rsqrt
+    mx = s_new
+    den = jnp.ones((tn, h), jnp.float32)
+    acc = vh_f
+    aprod0 = jnp.ones((tn, h), jnp.float32)
+    mflag[...] = jnp.zeros((tn, 1), jnp.int32)
+
+    for cp in _flat_copies():
+        cp.wait()
+
+    def body(c, carry):
+        mx, den, acc, aprod = carry
+        _wait_chunk(c)
+        slot = jax.lax.rem(c, nbuf)
+        for b in range(nsub):
+            kst = ksc[slot, :, b * ucc:(b + 1) * ucc, :]
+            vst = vsc[slot, :, b * ucc:(b + 1) * ucc, :]
+            cc = c * nsub + b
+            msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
+            mchunk = msub[:, :, None]
+            if quant:
+                ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
+                vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
+                kd = kst.astype(jnp.bfloat16) * ksl_c[:, :, None].astype(jnp.bfloat16)
+                vd = vst.astype(jnp.float32) * vsl_c[:, :, None]
+            else:
+                kd = kst.astype(jnp.bfloat16)
+                vd = vst.astype(jnp.float32)
+            pos3 = (jax.lax.broadcasted_iota(jnp.int32, (tn, ucc, 1), 1)
+                    + cc * ucc)
+            valid = (pos3 < step) & (mchunk != 0)
+            vv = jnp.where(valid, vd, 0.0)
+            prod = q[:, None, :] * kd
+            scores = jnp.dot(
+                prod.reshape(tn * ucc, m), seg,
+                preferred_element_type=jnp.float32,
+            ).reshape(tn, ucc, h) * rsqrt
+            scores = jnp.where(valid, scores, NEG_INF)
+            mxc = jnp.max(scores, axis=1)
+            new_mx = jnp.maximum(mx, mxc)
+            alpha = jnp.exp(mx - new_mx)
+            e = jnp.exp(scores - new_mx[:, None, :])
+            den = den * alpha + jnp.sum(e, axis=1)
+            wexp = jnp.dot(
+                e.astype(jnp.bfloat16).reshape(tn * ucc, h), seg.T,
+                preferred_element_type=jnp.float32,
+            ).reshape(tn, ucc, m)
+            contrib = jnp.sum(wexp * vv, axis=1)
+            alpha_m = jnp.dot(alpha, segf.T, preferred_element_type=jnp.float32)
+            acc = acc * alpha_m + contrib
+            mx = new_mx
+            aprod = aprod * alpha
+            mflag[...] = mflag[...] + jnp.sum(
+                jnp.where(pos3 == step, mchunk, 0), axis=1
+            )
+
+        # active page: merge fresh k/v at `step`, write back to the
+        # opposite parity slot (or the main cache when the page completes)
+        @pl.when(c == lastc)
+        def _():
+            posc = (jax.lax.broadcasted_iota(jnp.int32, (tn, uc, 1), 1)
+                    + c * uc)
+            at_step = posc == step
+            kchunk = ksc[slot, :, :, :]
+            vchunk = vsc[slot, :, :, :]
+            if quant:
+                kwb[...] = jnp.where(at_step, kq[:, None, :], kchunk)
+                vwb[...] = jnp.where(at_step, vq[:, None, :], vchunk)
+            else:
+                kwb[...] = jnp.where(
+                    at_step, kh_ref[...][:, None, :].astype(kwb.dtype), kchunk
+                )
+                vwb[...] = jnp.where(
+                    at_step, vh_ref[...][:, None, :].astype(vwb.dtype), vchunk
+                )
+
+            @pl.when(completes)
+            def _():
+                pltpu.make_async_copy(
+                    kwb, cko_ref.at[layer, rows, pl.ds(lastc * uc, uc), :],
+                    sems.at[4, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :],
+                    sems.at[4, 1],
+                ).start()
+
+            @pl.when(jnp.logical_not(completes))
+            def _():
+                pltpu.make_async_copy(
+                    kwb, ako_ref.at[layer, rows, par_w, :, :], sems.at[4, 0]
+                ).start()
+                pltpu.make_async_copy(
+                    vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
+                ).start()
+
+        @pl.when(c + nbuf < nc)
+        def _():
+            _start_chunk(c + nbuf)
+
+        return mx, den, acc, aprod
+
+    mx, den, acc, aprod = jax.lax.fori_loop(
+        0, nc, body, (mx, den, acc, aprod0)
+    )
+    ok = mflag[...] > 0
+    den = den - jnp.where(jnp.broadcast_to(ok, den.shape), 0.0, aprod)
+    aprod_m = jnp.dot(aprod, segf.T, preferred_element_type=jnp.float32)
+    acc = acc - jnp.where(ok, 0.0, aprod_m * vh_f)
+    den_m = jnp.dot(
+        jnp.maximum(den, 1e-30), segf.T, preferred_element_type=jnp.float32
+    )
+    out_ref[...] = (acc / den_m).astype(out_ref.dtype)
+
+    @pl.when(completes)
+    def _():
+        pltpu.make_async_copy(
+            kwb, cko_ref.at[layer, rows, pl.ds(lastc * uc, uc), :], sems.at[4, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :], sems.at[4, 1]
+        ).wait()
+
+    @pl.when(jnp.logical_not(completes))
+    def _():
+        pltpu.make_async_copy(
+            kwb, ako_ref.at[layer, rows, par_w, :, :], sems.at[4, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
+        ).wait()
 
 
 _VMEM_BUDGET = 10 * 2**20  # k+v scratch tiles together
@@ -782,20 +1062,47 @@ def _attn_step_call(q, kh, vh, mask, cache_k, cache_v, step, seg,
     )(*operands)
 
 
+def _pick_chunk_paged(n: int, m: int, itemsize: int) -> tuple[int, int, int, int]:
+    """(tn, uc, ucc, nbuf) for the paged chunked kernel: the DMA grain is
+    pinned to the page size (uc = _PAGE_LONG) so every chunk reads exactly
+    one page through the ownership table; tn/nbuf fit the same VMEM model
+    as _pick_chunk."""
+    budget = 9 * 2**20
+    uc = _PAGE_LONG
+    ucc = min(uc, 32)
+    for tn in (16, 8):
+        if n % tn:
+            continue
+        for nbuf in (3, 2):
+            need = tn * uc * m * itemsize * (2 * nbuf + 2) + tn * ucc * m * 16
+            if need <= budget:
+                return tn, uc, ucc, nbuf
+    return (8 if n % 8 == 0 else n), uc, ucc, 2
+
+
 @functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
 def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
                           table, act_src, step, seg, layer, d_head,
                           interpret=False, k_scale=None, v_scale=None):
     n, m = q.shape
     l, _, u, _ = cache_k.shape
+    page = u // table.shape[1]  # 32 whole-row / 64 chunked (make_kv_cache)
+    assert act_k.shape[3] == page, (act_k.shape, page)
     quant = cache_k.dtype == jnp.int8
     eff_itemsize = max(cache_k.dtype.itemsize, 2)
-    tn = _pick_tile(n, u, m, eff_itemsize)
+    chunked = u > max_u_whole_row(m, eff_itemsize)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    if chunked:
+        assert page == _PAGE_LONG, (page, u)
+        tn, uc, ucc, nbuf = _pick_chunk_paged(n, m, cache_k.dtype.itemsize)
+    else:
+        tn = _pick_tile(n, u, m, eff_itemsize)
     row_spec = pl.BlockSpec((tn, m), lambda i, *_: (i, 0))
     ul_spec = pl.BlockSpec((tn, u), lambda i, *_: (i, 0))
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    flat_spec = hbm_spec if chunked else ul_spec
     in_specs = [
-        row_spec, row_spec, row_spec, ul_spec,
+        row_spec, row_spec, row_spec, flat_spec,
         pl.BlockSpec((m, m // d_head), lambda i, *_: (0, 0)),
     ]
     out_specs = [row_spec, any_spec, any_spec, any_spec, any_spec]
@@ -806,9 +1113,22 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
         jax.ShapeDtypeStruct(act_k.shape, act_k.dtype),
         jax.ShapeDtypeStruct(act_v.shape, act_v.dtype),
     ]
+
+    def _prechunk(a, dtype):
+        # (N, U) -> (U/ucc, N, max(ucc, 128)); see _attn_step_call
+        a = a.astype(dtype).reshape(n, u // ucc, ucc)
+        if ucc < 128:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, 128 - ucc)))
+        return a.transpose(1, 0, 2)
+
+    if chunked:
+        mask = _prechunk(mask, jnp.int32)
     operands = [step, table, act_src, q, kh, vh, mask, seg]
     if quant:
-        in_specs += [ul_spec, ul_spec]
+        in_specs += [flat_spec, flat_spec]
+        if chunked:
+            k_scale = _prechunk(k_scale, jnp.float32)
+            v_scale = _prechunk(v_scale, jnp.float32)
         operands += [k_scale, v_scale]
         sc_spec = pl.BlockSpec((tn, 128), lambda i, *_: (i, 0))
         out_specs += [sc_spec, sc_spec]
@@ -821,13 +1141,42 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
         aliases = {8: 1, 9: 2, 10: 3, 11: 4}
     in_specs += [any_spec, any_spec, any_spec, any_spec]
     operands += [cache_k, cache_v, act_k, act_v]
-    scratch = [
-        pltpu.VMEM((tn, u, m), cache_k.dtype),
-        pltpu.VMEM((tn, u, m), cache_v.dtype),
-        pltpu.VMEM((tn, _PAGE, m), cache_k.dtype),
-        pltpu.VMEM((tn, _PAGE, m), cache_v.dtype),
-        pltpu.SemaphoreType.DMA((5, _PDEPTH)),
-    ]
+    if chunked:
+        ml = max(ucc, 128)
+        nsub_tot = u // ucc
+        scratch = [
+            pltpu.VMEM((nbuf, tn, uc, m), cache_k.dtype),
+            pltpu.VMEM((nbuf, tn, uc, m), cache_v.dtype),
+            pltpu.VMEM((nsub_tot, tn, ml), jnp.int32),
+        ]
+        if quant:
+            scratch += [
+                pltpu.VMEM((nsub_tot, tn, ml), jnp.float32),
+                pltpu.VMEM((nsub_tot, tn, ml), jnp.float32),
+            ]
+        scratch += [
+            pltpu.VMEM((tn, uc, m), cache_k.dtype),
+            pltpu.VMEM((tn, uc, m), cache_v.dtype),
+            pltpu.VMEM((tn, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((5, max(nbuf, 2))),
+            pltpu.SemaphoreType.DMA((2, nbuf, tn)),
+        ]
+        kernel = functools.partial(
+            _kernel_chunked_paged, layer=layer, tn=tn, uc=uc, ucc=ucc,
+            nbuf=nbuf, d_head=d_head, quant=quant,
+        )
+    else:
+        scratch = [
+            pltpu.VMEM((tn, u, m), cache_k.dtype),
+            pltpu.VMEM((tn, u, m), cache_v.dtype),
+            pltpu.VMEM((tn, page, m), cache_k.dtype),
+            pltpu.VMEM((tn, page, m), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((5, max(tn, _PDEPTH))),
+        ]
+        kernel = functools.partial(
+            _kernel_paged, layer=layer, tn=tn, d_head=d_head, quant=quant,
+            page=page,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n // tn,),
@@ -836,7 +1185,7 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_kernel_paged, layer=layer, tn=tn, d_head=d_head, quant=quant),
+        kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,

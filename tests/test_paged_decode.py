@@ -63,21 +63,38 @@ def _random_parent(rng, b, k):
     return jnp.asarray(rng.integers(0, k, size=(b, k)), jnp.int32)
 
 
-@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
-def test_paged_kernel_protocol_interpret(dtype):
-    """Drive the paged kernel through 2*_PAGE+6 decode steps with a random
-    beam reorder after every step, crossing a page-completion boundary,
-    and compare every attention output (and the final reconstructable
-    cache content) against a physically-maintained ground truth."""
+@pytest.mark.parametrize("dtype,long", [
+    (jnp.bfloat16, False), (jnp.int8, False),
+    (jnp.bfloat16, True), (jnp.int8, True),
+])
+def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
+    """Drive the paged kernel through 2 pages + 6 decode steps with a
+    random beam reorder after every step, crossing a page-completion
+    boundary, and compare every attention output (and the final
+    reconstructable cache content) against a physically-maintained ground
+    truth. ``long`` shrinks the whole-row VMEM bound so the same protocol
+    runs through the CHUNKED paged kernel (page 64 == DMA grain)."""
     rng = np.random.default_rng(0)
     L, B, K, M, H = 2, 2, 4, 256, 4
     N = B * K
-    steps = 2 * _PAGE + 6
-    U = -(-(steps + 1) // _PAGE) * _PAGE
+    if long:
+        # force the chunked path: any U exceeds the whole-row bound
+        from speech_anonymization_tpu.ops.pallas import attention_step as ats
+
+        monkeypatch.setattr(ats, "max_u_whole_row", lambda m, i: 8)
+        import speech_anonymization_tpu.models.transformer as mt
+
+        page = 64
+        steps = page + 10  # one completed page + active
+    else:
+        page = _PAGE
+        steps = 2 * _PAGE + 6
+    U = -(-(steps + 1) // page) * page
     quant = dtype == jnp.int8
 
     pc = make_kv_cache(N, U, L, H, M // H, dtype=dtype, paged=True)
     assert pc["k"].shape == (L, N, U, M) and "table" in pc
+    assert pc["k_act"].shape[3] == page
     mask = jnp.ones((N, U), jnp.int8)
 
     # ground truth: physically-reordered DEQUANTIZED content + raw scales
@@ -140,7 +157,7 @@ def test_paged_kernel_protocol_interpret(dtype):
     # final state: reconstruct logical content from pages + parity slots
     # and compare every position <= last step against the ground truth
     last = steps - 1
-    p_act, o = divmod(last, _PAGE)
+    p_act, o = divmod(last, page)
     tbl = np.asarray(pc["table"])
     asrc = np.asarray(pc["act_src"])
     par = last % 2  # the slot the kernel wrote at the last step
@@ -149,12 +166,12 @@ def test_paged_kernel_protocol_interpret(dtype):
         got = np.zeros((L, N, last + 1, M), np.float32)
         for n in range(N):
             for p in range(p_act):
-                got[:, n, p * _PAGE : (p + 1) * _PAGE] = main[
-                    :, tbl[n, p], p * _PAGE : (p + 1) * _PAGE
+                got[:, n, p * page : (p + 1) * page] = main[
+                    :, tbl[n, p], p * page : (p + 1) * page
                 ]
         act = np.asarray(pc["k_act"] if arr is pc["k"] else pc["v_act"])
         for n in range(N):
-            got[:, n, p_act * _PAGE : last + 1] = act[:, asrc[n], par, : o + 1]
+            got[:, n, p_act * page : last + 1] = act[:, asrc[n], par, : o + 1]
         if quant:
             sc = np.asarray(
                 pc["k_scale"] if arr is pc["k"] else pc["v_scale"], np.float32
