@@ -193,8 +193,10 @@ class ASRBundle:
         brain.utility_similarity_aggregator.append(num / np.maximum(den, 1e-8))
 
         if stage == Stage.TEST:
-            toks_r, len_r, _ = self._decode_test(recon, lens)
-            toks_o, len_o, _ = self._decode_test(clean, lens)
+            # decode returns (tokens, lengths, scores[, stats]) — the stats
+            # element appears when decode_return_stats is set in the config
+            toks_r, len_r = self._decode_test(recon, lens)[:2]
+            toks_o, len_o = self._decode_test(clean, lens)[:2]
             pred_r = [self.tokenizer.decode_ids(h).split(" ") for h in hyps_to_lists(toks_r, len_r)]
             pred_o = [self.tokenizer.decode_ids(h).split(" ") for h in hyps_to_lists(toks_o, len_o)]
             target = [w.split(" ") for w in batch.wrd]
