@@ -66,6 +66,7 @@ def _random_parent(rng, b, k):
 @pytest.mark.parametrize("dtype,long", [
     (jnp.bfloat16, False), (jnp.int8, False),
     (jnp.bfloat16, True), (jnp.int8, True),
+    (jnp.bfloat16, "deep"), (jnp.int8, "deep"),
 ])
 def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     """Drive the paged kernel through 2 pages + 6 decode steps with a
@@ -73,7 +74,11 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     boundary, and compare every attention output (and the final
     reconstructable cache content) against a physically-maintained ground
     truth. ``long`` shrinks the whole-row VMEM bound so the same protocol
-    runs through the CHUNKED paged kernel (page 64 == DMA grain)."""
+    runs through the CHUNKED paged kernel (page 64 == DMA grain);
+    ``"deep"`` additionally shrinks the page to 16 and forces 2 row
+    tiles so the chunk count exceeds the DMA buffer window (nc > nbuf)
+    with multiple grid tiles — the steady-state streaming regime of
+    long decodes, previously uncovered off-chip."""
     rng = np.random.default_rng(0)
     L, B, K, M, H = 2, 2, 4, 256, 4
     N = B * K
@@ -86,10 +91,24 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
 
         page = 64
         steps = page + 10  # one completed page + active
+        if long == "deep":
+            B, K = 4, 4
+            N = B * K
+            page = 16
+            monkeypatch.setattr(ats, "_PAGE_LONG", page)
+            # 2 row tiles of 8: cross-tile prefetch needs nt >= 2
+            monkeypatch.setattr(
+                ats, "_pick_chunk_paged", lambda n, m, it: (8, page, page, 3)
+            )
+            steps = 4 * page + 10  # nc reaches 5 > nbuf=3 from step 48
     else:
         page = _PAGE
         steps = 2 * _PAGE + 6
     U = -(-(steps + 1) // page) * page
+    if long == "deep":
+        # make_kv_cache rounds long caches to 64-multiples regardless of
+        # the (patched) page size
+        U = -(-U // 64) * 64
     quant = dtype == jnp.int8
 
     pc = make_kv_cache(N, U, L, H, M // H, dtype=dtype, paged=True)
