@@ -10,10 +10,13 @@
 //     Hanning window (3 periods), power spectrum, (2/3)*F0 triangular
 //     frequency smoothing, cepstral liftering with the sinc smoothing
 //     lifter and the q1=-0.15 compensation lifter;
-//   * aperiodicity: per-band (0-1,1-2,2-4,4-6,6-8 kHz) harmonic-to-total
-//     ratio from the band-limited autocorrelation at the period lag — an
-//     HNR-based stand-in for D4C's group-delay statistic (documented
-//     simplification; pyworld is not installable in this environment);
+//   * aperiodicity: per-band (0-1,1-2,2-4,4-6,6-8 kHz) D4C-class estimate
+//     combining TWO harmonicity statistics (geometric mean, see the band
+//     loop below): window-corrected band-limited autocorrelation at the
+//     period lag, and a group-delay statistic in D4C's spirit — the
+//     power-weighted circular coherence of per-bin static group delay
+//     wrapped on the pitch period, restricted to near-harmonic bins and
+//     calibrated against the deterministic interference floor;
 //   * synthesis: pitch-synchronous overlap-add of minimum-phase responses —
 //     periodic pulse excitation scaled sqrt(1-ap^2) plus filtered-noise
 //     excitation scaled ap, per WORLD's excitation model.

@@ -18,6 +18,14 @@ startup (the ``jax.distributed.initialize()`` equivalent of the reference's
 global batch from per-host input-pipeline shards, and
 :func:`global_barrier` synchronizes all processes via an all-device psum.
 
+Validation boundary: the multi-PROCESS code paths here are validated by
+inspection and single-process unit tests only (barrier device span,
+shard_batch assembly on a virtual 8-device mesh). No test in this repo
+runs more than one JAX process — the build environment allows a single
+JAX process at a time — so e.g. a ``process_index`` shard-ordering bug in
+:func:`shard_batch` would not be caught by the suite. Run a 2-process CPU
+smoke test before relying on multi-host training in a new environment.
+
 Scaling beyond data parallelism (not needed for parity — the models are
 tiny, SURVEY.md §2.6): the mesh helpers accept extra named axes so the ASR
 transformer can shard its 768-d matmuls over a 'model' axis if ever wanted.

@@ -100,7 +100,7 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
             monkeypatch.setattr(
                 ats, "_pick_chunk_paged", lambda n, m, it: (8, page, page, 3)
             )
-            steps = 4 * page + 10  # nc reaches 5 > nbuf=3 from step 48
+            steps = 4 * page + 10  # nc exceeds nbuf=3 from step 48 (and hits 5 at 64)
     else:
         page = _PAGE
         steps = 2 * _PAGE + 6
