@@ -14,8 +14,9 @@ corpus (disjoint test speakers), end-to-end through the real recipes:
      -> ACC_external on ORIGINAL vs ANONYMIZED features (reference row:
      ACC_ext 0.39 on anonymized vs ~0.96 on original).
 
-Writes EXPERIMENTS.md. Runs on CPU by default (deterministic, no tunnel);
-SATPU_PLATFORM=tpu uses the chip.
+Runs on CPU by default (deterministic, no tunnel); SATPU_PLATFORM=tpu
+uses the chip. EXPERIMENTS.md is rendered from recorded sweep results by
+scripts/write_experiments.py.
 
   timeout 3000 python scripts/repro_gender_row.py
 """
@@ -30,121 +31,14 @@ import jax
 if os.environ.get("SATPU_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
+# corpus generator lives in the package so tests share it
+# (speech_anonymization_tpu/data/synth.py); each WORD is a FIXED phone
+# sequence so the audio actually carries the transcript (VERDICT r2
+# missing #4)
+from speech_anonymization_tpu.data.synth import build_corpus  # noqa: E402,F401
 
-from speech_anonymization_tpu.data.audio import write_wav
-
-SR = 16000
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = os.path.join(REPO, "configs")
-
-
-# ---------------------------------------------------------------- corpus
-
-# phone inventory: vowel-like formant targets (Hz) — speaker formant_scale
-# multiplies them, F0 comes from the speaker
-PHONES = {
-    "AA": (730, 1090, 2440), "IY": (270, 2290, 3010), "UW": (300, 870, 2240),
-    "EH": (530, 1840, 2480), "AO": (570, 840, 2410), "AE": (660, 1720, 2410),
-    "ER": (490, 1350, 1690), "IH": (390, 1990, 2550), "AH": (640, 1190, 2390),
-    "OW": (450, 1030, 2380), "EY": (400, 2100, 2700), "AY": (680, 1300, 2500),
-}
-# each WORD is a FIXED phone sequence, so the audio actually carries the
-# transcript (required for the WER rows: an ASR can only be better than
-# chance if acoustics and words correlate — VERDICT r2 missing #4)
-WORD_PHONES = {
-    "HELLO": ("EH", "AH", "OW"),
-    "WORLD": ("ER", "AH", "UW"),
-    "SPEECH": ("IY", "IH", "IY"),
-    "MODEL": ("AO", "AH", "EH"),
-    "TEST": ("EH", "AE", "IH"),
-    "AUDIO": ("AA", "IY", "OW"),
-    "SIGNAL": ("IH", "AE", "AH"),
-    "VOICE": ("AO", "AY", "IY"),
-}
-WORDS = list(WORD_PHONES)
-
-
-def _phone_wave(rng, f0, formants, scale, dur, declination):
-    t = np.arange(dur) / SR
-    f1, f2, f3 = (f * scale for f in formants)
-    f0 = f0 * (1.0 + 0.04 * rng.standard_normal()) * declination
-
-    def env(f):
-        return (
-            1.0 * np.exp(-0.5 * ((f - f1) / 120.0) ** 2)
-            + 0.6 * np.exp(-0.5 * ((f - f2) / 180.0) ** 2)
-            + 0.25 * np.exp(-0.5 * ((f - f3) / 250.0) ** 2)
-            + 0.01
-        )
-
-    x = np.zeros(dur)
-    k = 1
-    while k * f0 < 4500:
-        # mild vibrato so harmonics are not laser lines
-        phase = 2 * np.pi * k * f0 * t * (1 + 0.003 * np.sin(2 * np.pi * 5.0 * t))
-        x += env(k * f0) * np.cos(phase + rng.uniform(0, 2 * np.pi))
-        k += 1
-    x *= 0.22 / (np.abs(x).max() + 1e-9)
-    a = np.minimum(1.0, np.minimum(t / 0.02, (dur / SR - t) / 0.03).clip(0.05))
-    return x * a
-
-
-def _utterance(rng, f0_base, formant_scale, words):
-    """Formant-synthesized 'speech' FOR a word sequence: each word is its
-    fixed phone sequence (WORD_PHONES) with per-speaker F0/formant scale,
-    F0 declination + jitter, short inter-word pauses, breath noise."""
-    pieces = []
-    n_phones = sum(len(WORD_PHONES[w]) for w in words)
-    i = 0
-    for w in words:
-        for ph in WORD_PHONES[w]:
-            dur = int(rng.uniform(0.10, 0.16) * SR)
-            decl = 1.0 - 0.1 * i / max(n_phones, 1)
-            pieces.append(_phone_wave(rng, f0_base, PHONES[ph], formant_scale, dur, decl))
-            i += 1
-        if rng.random() < 0.6:
-            pieces.append(np.zeros(int(rng.uniform(0.02, 0.07) * SR)))
-    out = np.concatenate(pieces)
-    out = out + 0.004 * rng.standard_normal(len(out))
-    return out.astype(np.float32)
-
-
-def build_corpus(root, n_train_spk=8, n_test_spk=5, utts=10, seconds=2.0, seed=0):
-    """M/F speakers with disjoint test speakers (5 per sex held out — wide
-    enough that ACC rows are not quantized to coarse steps). F0: M ~
-    N(115, 12), F ~ N(210, 18); female formants scaled ~1.12x
-    (vocal-tract length cue)."""
-    rng = np.random.default_rng(seed)
-    speakers = {}
-    sid = 100
-    for split, n_spk in (("train-clean", n_train_spk), ("test-clean", n_test_spk)):
-        for i in range(n_spk):
-            for sex in ("M", "F"):
-                f0 = rng.normal(115, 12) if sex == "M" else rng.normal(210, 18)
-                scale = rng.normal(1.0, 0.03) if sex == "M" else rng.normal(1.12, 0.03)
-                speakers[str(sid)] = (split, sex, max(80.0, f0), scale)
-                sid += 1
-    os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, "SPEAKERS.TXT"), "w") as f:
-        f.write("; speaker | sex | subset\n")
-        for spk, (split, sex, _, _) in speakers.items():
-            f.write(f"{spk} | {sex} | {split}\n")
-    total_s = 0.0
-    for spk, (split, sex, f0, scale) in speakers.items():
-        chap_dir = os.path.join(root, split, spk, "100")
-        os.makedirs(chap_dir, exist_ok=True)
-        lines = []
-        for u in range(utts):
-            utt_id = f"{spk}-100-{u:04d}"
-            words = list(rng.choice(WORDS, size=4))
-            wav = _utterance(rng, f0, scale, words)
-            total_s += len(wav) / SR
-            write_wav(os.path.join(chap_dir, utt_id + ".wav"), wav, SR)
-            lines.append(f"{utt_id} " + " ".join(words))
-        with open(os.path.join(chap_dir, f"{spk}-100.trans.txt"), "w") as f:
-            f.write("\n".join(lines) + "\n")
-    return speakers, total_s
 
 
 def _common(root, out):
@@ -163,10 +57,38 @@ def _common(root, out):
     ]
 
 
-def main():
-    from speech_anonymization_tpu.recipes import anonymizer, asr_train, gender_classifier
+def _cached(out, fn):
+    """Stages cache their headline stats next to their checkpoints so a
+    stage-2 schedule iteration doesn't re-train the (deterministic,
+    schedule-independent) evaluator/ASR stages. Delete the stage dir to
+    force a re-run."""
+    import json
 
-    work = os.path.join(REPO, "save", "repro_gender_row")
+    marker = os.path.join(out, "repro_stats.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    stats = fn()
+    with open(marker, "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+# tiny-ASR architecture shared by stage 1.5 training and every stage-2
+# attach (the sweep must pass the identical shape or the checkpoint load
+# fails)
+TINY_ASR = [
+    "--d_model", "64", "--nhead", "4", "--num_encoder_layers", "2",
+    "--num_decoder_layers", "2", "--d_ffn", "128", "--output_neurons", "40",
+    "--test_beam_size", "4",
+]
+
+
+def ensure_stages(work):
+    """Build (or load from cache) the corpus + stage 1 evaluator + stage
+    1.5 tiny ASR. Returns (acc_orig, wer_asr)."""
+    from speech_anonymization_tpu.recipes import asr_train, gender_classifier
+
     os.makedirs(work, exist_ok=True)
     root = os.path.join(work, "corpus")
     if not os.path.exists(os.path.join(root, "SPEAKERS.TXT")):
@@ -176,22 +98,6 @@ def main():
         speakers, total_s = build_corpus(root, utts=30)
         print(f"corpus: {len(speakers)} speakers, {total_s/60:.1f} min audio")
     test_csv = os.path.join(root, "test-clean.csv")
-
-    # Stages cache their headline stats next to their checkpoints so a
-    # stage-2 schedule iteration doesn't re-train the (deterministic,
-    # schedule-independent) evaluator/ASR stages. Delete the stage dir to
-    # force a re-run.
-    import json
-
-    def _cached(out, fn):
-        marker = os.path.join(out, "repro_stats.json")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                return json.load(f)
-        stats = fn()
-        with open(marker, "w") as f:
-            json.dump(stats, f)
-        return stats
 
     # ---- stage 1: gender classifier on original audio ----------------------
     gout = os.path.join(work, "gender")
@@ -217,33 +123,34 @@ def main():
             + _common(root, aout)
             + ["--test_csv", f'["{test_csv}"]',
                "--batch_size", "8", "--number_of_epochs", "40",
-               "--d_model", "64", "--nhead", "4", "--num_encoder_layers", "2",
-               "--num_decoder_layers", "2", "--d_ffn", "128", "--output_neurons", "40",
-               "--valid_beam_size", "2", "--test_beam_size", "4",
+               "--valid_beam_size", "2",
                "--valid_search_interval", "100",
                # scale-matched Noam (same reasoning as stage 2 below): peak lr
                # = 0.35 * 64^-0.5 * 60^-0.5 ~ 5.6e-3 at step 60 of ~800
                "--lr_adam", "0.35", "--n_warmup_steps", "60"]
+            + TINY_ASR
         )
         return {"wer": float(ab.test_stats["WER"])}
 
     wer_asr = _cached(aout, _stage15)["wer"]
     print(f"[stage 1.5] tiny ASR WER on ORIGINAL audio (held-out speakers): {wer_asr:.1f}%")
+    return acc_orig, wer_asr
 
-    # ---- stage 2: adversarial FC-AE with the evaluator attached ------------
-    nout = os.path.join(work, "anon")
-    # recon0.5/sex0.5 (the shipped fullyconn_updatedsexclassifier run).
-    # The stronger recon0.1/sex0.9 schedule was tried and collapses at
-    # this scale: the AE drifts so much per adversary phase that the
-    # averaged checkpoint keeps the sex cue fully readable (ACC_ext 0.997)
-    # while losing decodability (WER 46%) — the balanced schedule is the
-    # one that demonstrates the transfer mechanism at reduced scale.
-    schedule = (
-        '[{"weights": {"recon": 0.5, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
-        ' "train": "generator"},'
-        ' {"weights": {"recon": 0.0, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
-        ' "train": "sex_classifier"}]'
-    )
+
+def run_stage2(work, out_name, schedule, model_type="fcae", epochs=40,
+               seed=0, grl_scale=None, lr_adam=0.55, n_warmup_steps=100):
+    """One adversarial anonymizer run against the cached stage-1 evaluator
+    and stage-1.5 ASR. Returns the test-stats triple as a plain dict."""
+    from speech_anonymization_tpu.recipes import anonymizer
+
+    root = os.path.join(work, "corpus")
+    gout = os.path.join(work, "gender")
+    aout = os.path.join(work, "asr")
+    test_csv = os.path.join(root, "test-clean.csv")
+    nout = os.path.join(work, out_name)
+    extra = []
+    if grl_scale is not None:
+        extra += ["--grl_scale", str(grl_scale)]
     # scale-matched optimizer: the reference's Noam(warmup 25000) never
     # leaves warmup in a few-hundred-step run (lr ~1e-6 -> the AE would
     # stay at init and privacy would be trivially chance on garbage); raw-Noam
@@ -252,9 +159,10 @@ def main():
         [os.path.join(BASE, "convae.yaml")]
         + _common(root, nout)
         + ["--test_csv", f'["{test_csv}"]',
-           "--batch_size", "8", "--number_of_epochs", "40",
-           "--model_type", "fcae",
-           "--lr_adam", "0.55", "--n_warmup_steps", "100",
+           "--batch_size", "8", "--number_of_epochs", str(epochs),
+           "--model_type", model_type,
+           "--seed", str(seed),
+           "--lr_adam", str(lr_adam), "--n_warmup_steps", str(n_warmup_steps),
            "--adversarial_schedule", schedule,
            "--external_classifier_dir", os.path.join(gout, "save", "ckpts"),
            # attach the stage-1.5 ASR: Utility_Retention becomes the
@@ -263,65 +171,45 @@ def main():
            # train_log triple — speechbrain_convae_train.py:168-183)
            "--asr_checkpoint_dir", os.path.join(aout, "save", "ckpts"),
            "--tokenizer_path", os.path.join(aout, "save", "tokenizer.json"),
-           "--d_model", "64", "--nhead", "4", "--num_encoder_layers", "2",
-           "--num_decoder_layers", "2", "--d_ffn", "128", "--output_neurons", "40",
-           "--test_beam_size", "4",
            ]
+        + TINY_ASR + extra
     )
     s = nb.test_stats
-    acc_ext_orig = float(s["ACC_external_orig"])
-    acc_ext_anon = float(s["ACC_external"])
-    acc_int = float(s["ACC"])
-    util = float(s["Utility_Retention"])  # ASR-encoder cosine (ASR attached)
-    wer_anon = float(s["WER"])
-    wer_orig = float(s.get("WER_orig", float("nan")))
-    print(f"[stage 2] ACC_external orig={acc_ext_orig:.3f} anon={acc_ext_anon:.3f} "
-          f"internal={acc_int:.3f} utility={util:.3f} "
-          f"WER orig={wer_orig:.1f}% anon={wer_anon:.1f}%")
+    out = {
+        "acc_ext_orig": float(s["ACC_external_orig"]),
+        "acc_ext_anon": float(s["ACC_external"]),
+        "acc_internal": float(s["ACC"]),
+        "utility": float(s["Utility_Retention"]),  # ASR-encoder cosine
+        "wer_anon": float(s["WER"]),
+        "wer_orig": float(s.get("WER_orig", float("nan"))),
+    }
+    print(f"[stage 2 {out_name}] ACC_external orig={out['acc_ext_orig']:.3f} "
+          f"anon={out['acc_ext_anon']:.3f} internal={out['acc_internal']:.3f} "
+          f"utility={out['utility']:.3f} "
+          f"WER orig={out['wer_orig']:.1f}% anon={out['wer_anon']:.1f}%")
+    return out
 
-    doc = f"""# Reduced-scale reproduction of the reference research rows
 
-The environment ships no LibriSpeech audio, so the reference's headline
-rows are reproduced IN KIND on a synthetic formant-rich gendered corpus
-(16 train + 10 held-out test speakers, F0 M~115 Hz / F~210 Hz, female
-formants x1.12; each WORD is a fixed phone sequence so the audio carries
-the transcript) through the real recipes end-to-end. Scale caveat:
-absolute numbers are not comparable to LibriSpeech rows; the DIRECTIONS
-and mechanism (adversarially trained FC-AE hides the sex cue from an
-externally trained evaluator while keeping the features decodable) are
-what is being demonstrated.
+# recon0.5/sex0.5 (the shipped fullyconn_updatedsexclassifier run).
+# The stronger recon0.1/sex0.9 schedule was tried and collapses at
+# this scale: the AE drifts so much per adversary phase that the
+# averaged checkpoint keeps the sex cue fully readable (ACC_ext 0.997)
+# while losing decodability (WER 46%).
+BASELINE_SCHEDULE = (
+    '[{"weights": {"recon": 0.5, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
+    ' "train": "generator"},'
+    ' {"weights": {"recon": 0.0, "sex": 0.5, "utility": 0.0, "confusion": 0.0},'
+    ' "train": "sex_classifier"}]'
+)
 
-| Row | Reference (LibriSpeech, full scale) | This repo (synthetic, reduced) |
-|---|---|---|
-| Gender ACC, original audio | ~0.96 (results/gender_classifier/1230/train_log.txt) | **{acc_orig:.3f}** |
-| ACC_external, original features | ~0.96 | **{acc_ext_orig:.3f}** |
-| ACC_external, ANONYMIZED features | 0.39 (fullyconn_updatedsexclassifier_recon0.5_sex0.5, wer_test-clean) | **{acc_ext_anon:.3f}** |
-| Internal (adversary) ACC on anon | — | {acc_int:.3f} |
-| WER, original features | 7.49% (fullyconn_normalize_recon1.0, wer_test-clean-100.txt) | **{wer_orig:.1f}%** (tiny-ASR baseline {wer_asr:.1f}%) |
-| WER, ANONYMIZED features | 9.11% (fullyconn_updatedsexclassifier recon0.1/sex0.9, wer_test-clean.txt) | **{wer_anon:.1f}%** |
-| Utility retention (ASR-encoder cosine recon vs orig) | 0.617-0.916 (train_log.txt rows) | {util:.3f} |
 
-The WER pair mirrors the reference's train_log triple (WER / ACC_ext /
-Utility): beam search + the attached tiny ASR decode BOTH the original
-and the anonymized features of the same held-out utterances. The utility
-rows guard against the trivial outcome (an untrained AE outputs garbage,
-which also scores chance ACC): anonymization only means something if the
-features remain decodable at the same time.
-
-Commands (deterministic, CPU):
-
-    python scripts/repro_gender_row.py
-
-(recipe chain: gender_classifier.yaml 8 epochs -> transformer.yaml tiny
-ASR (64d, 2+2 layers, beam 4) 40 epochs -> convae.yaml fcae, adversarial
-schedule recon0.5/sex0.5 + sex_classifier phase, 40 epochs (lr_adam 0.55,
-n_warmup_steps 100 -> peak lr ~2e-3 at this step count), external
-evaluator from stage 1 + ASR from stage 1.5 attached; disjoint test
-speakers throughout.)
-"""
-    with open(os.path.join(REPO, "EXPERIMENTS.md"), "w") as f:
-        f.write(doc)
-    print("wrote EXPERIMENTS.md")
+def main():
+    work = os.path.join(REPO, "save", "repro_gender_row")
+    ensure_stages(work)
+    run_stage2(work, "anon", BASELINE_SCHEDULE)
+    # EXPERIMENTS.md is rendered from recorded sweep results by
+    # scripts/write_experiments.py (the sweep driver scripts/round4_sweep.py
+    # appends every run to save/repro_gender_row/sweep_results.jsonl).
 
 
 if __name__ == "__main__":

@@ -611,9 +611,9 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
         wv.wait()
 
 
-def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
-                          mask_ref, seg_ref, *rest, layer, tn, uc, ucc, nbuf,
-                          d_head, quant):
+def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
+                          kh_ref, vh_ref, mask_ref, seg_ref, *rest, layer,
+                          tn, uc, ucc, nbuf, d_head, quant):
     """Paged variant of the chunked online-softmax kernel. The DMA grain
     equals the page size (``uc == _PAGE_LONG``), so every chunk is exactly
     one page: completed pages stream from their table-owner row (one
@@ -624,15 +624,30 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
     Same race-free aliasing argument as ``_kernel_paged``; same online
     softmax/fresh-seed math as ``_kernel_chunked`` (positions < step from
     chunks, the fresh token seeded optimistically with exact removal when
-    masked)."""
+    masked).
+
+    UNIFORM-page dedup: deep in a beam decode, completed pages are
+    overwhelmingly SHARED across the beams of an utterance (the beam
+    frontier only diverges near the tip, so old pages coalesce to one
+    ancestor). When every row of this tile owns the same page
+    (``unif_ref[i, c]``, precomputed in jnp from the ownership table),
+    the page is DMAed ONCE into a shared (uc, m) buffer and the score
+    math broadcasts it across the tile's rows — HBM bytes for that page
+    drop tn-fold while the per-row elementwise compute is unchanged
+    (the round-3 measured negative only rules out restructuring the
+    compute into per-unique-page MXU matmuls, BENCHMARKS.md). The online
+    -softmax accumulators live in VMEM scratch so the uniform/mixed
+    paths can be disjoint ``pl.when`` branches."""
     if quant:
         (ksl_ref, vsl_ref, ck_ref, cv_ref, ak_ref, av_ref,
          out_ref, cko_ref, cvo_ref, ako_ref, avo_ref, kso_ref, vso_ref,
-         ksc, vsc, mall, kslall, vslall, kwb, vwb, mflag, sems, csems) = rest
+         ksc, vsc, ksu, vsu, mall, kslall, vslall, kwb, vwb, mflag,
+         amx, aden, aacc, aprd, sems, csems, usems) = rest
     else:
         (ck_ref, cv_ref, ak_ref, av_ref,
          out_ref, cko_ref, cvo_ref, ako_ref, avo_ref,
-         ksc, vsc, mall, kwb, vwb, mflag, sems, csems) = rest
+         ksc, vsc, ksu, vsu, mall, kwb, vwb, mflag,
+         amx, aden, aacc, aprd, sems, csems, usems) = rest
     i = pl.program_id(0)
     row0 = i * tn
     rows = pl.ds(row0, tn)
@@ -650,12 +665,36 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
     rsqrt = 1.0 / math.sqrt(d_head)
 
     # ---- per-(row, page) DMAs; active page branches to the parity slot.
-    # Both branches move the same byte count on the same (slot, row)
-    # semaphore, so waits stay uniform.
+    # Both per-row branches move the same byte count on the same
+    # (slot, row) semaphore, so waits stay uniform. A UNIFORM completed
+    # page takes the single-DMA branch instead (own ksu/vsu buffers +
+    # usems semaphores — start/wait branch on the same deterministic
+    # ``unif_ref[i, c]`` value, so they always pair up).
+    def _is_unif(c):
+        return (c != lastc) & (unif_ref[i, c] != 0)
+
+    def _unif_copies(c, slot):
+        src = tbl_ref[row0, c]  # all rows of the tile agree
+        return (
+            pltpu.make_async_copy(
+                ck_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                ksu.at[slot], usems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                vsu.at[slot], usems.at[1, slot],
+            ),
+        )
+
     def _start_chunk(c):
         slot = jax.lax.rem(c, nbuf)
 
-        @pl.when(c != lastc)
+        @pl.when(_is_unif(c))
+        def _():
+            for cp in _unif_copies(c, slot):
+                cp.start()
+
+        @pl.when((c != lastc) & jnp.logical_not(_is_unif(c)))
         def _():
             def b(r, _):
                 src = tbl_ref[row0 + r, c]
@@ -690,7 +729,12 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
     def _wait_chunk(c):
         slot = jax.lax.rem(c, nbuf)
 
-        @pl.when(c != lastc)
+        @pl.when(_is_unif(c))
+        def _():
+            for cp in _unif_copies(c, slot):
+                cp.wait()
+
+        @pl.when((c != lastc) & jnp.logical_not(_is_unif(c)))
         def _():
             def b(r, _):
                 src = tbl_ref[row0 + r, c]
@@ -756,60 +800,95 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
 
     prod_new = q * kh_ref[...].astype(jnp.bfloat16)
     s_new = jnp.dot(prod_new, seg, preferred_element_type=jnp.float32) * rsqrt
-    mx = s_new
-    den = jnp.ones((tn, h), jnp.float32)
-    acc = vh_f
-    aprod0 = jnp.ones((tn, h), jnp.float32)
+    # online-softmax accumulators live in scratch so the uniform/mixed
+    # compute branches (disjoint pl.when bodies) can both update them
+    amx[...] = s_new
+    aden[...] = jnp.ones((tn, h), jnp.float32)
+    aacc[...] = vh_f
+    aprd[...] = jnp.ones((tn, h), jnp.float32)
     mflag[...] = jnp.zeros((tn, 1), jnp.int32)
 
     for cp in _flat_copies():
         cp.wait()
 
-    def body(c, carry):
-        mx, den, acc, aprod = carry
-        _wait_chunk(c)
-        slot = jax.lax.rem(c, nbuf)
-        for b in range(nsub):
-            kst = ksc[slot, :, b * ucc:(b + 1) * ucc, :]
-            vst = vsc[slot, :, b * ucc:(b + 1) * ucc, :]
-            cc = c * nsub + b
-            msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
-            mchunk = msub[:, :, None]
-            if quant:
-                ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
-                vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
-                kd = kst.astype(jnp.bfloat16) * ksl_c[:, :, None].astype(jnp.bfloat16)
-                vd = vst.astype(jnp.float32) * vsl_c[:, :, None]
-            else:
-                kd = kst.astype(jnp.bfloat16)
-                vd = vst.astype(jnp.float32)
-            pos3 = (jax.lax.broadcasted_iota(jnp.int32, (tn, ucc, 1), 1)
-                    + cc * ucc)
-            valid = (pos3 < step) & (mchunk != 0)
-            vv = jnp.where(valid, vd, 0.0)
-            prod = q[:, None, :] * kd
-            scores = jnp.dot(
-                prod.reshape(tn * ucc, m), seg,
-                preferred_element_type=jnp.float32,
-            ).reshape(tn, ucc, h) * rsqrt
-            scores = jnp.where(valid, scores, NEG_INF)
-            mxc = jnp.max(scores, axis=1)
-            new_mx = jnp.maximum(mx, mxc)
-            alpha = jnp.exp(mx - new_mx)
-            e = jnp.exp(scores - new_mx[:, None, :])
-            den = den * alpha + jnp.sum(e, axis=1)
-            wexp = jnp.dot(
-                e.astype(jnp.bfloat16).reshape(tn * ucc, h), seg.T,
-                preferred_element_type=jnp.float32,
-            ).reshape(tn, ucc, m)
-            contrib = jnp.sum(wexp * vv, axis=1)
-            alpha_m = jnp.dot(alpha, segf.T, preferred_element_type=jnp.float32)
-            acc = acc * alpha_m + contrib
-            mx = new_mx
-            aprod = aprod * alpha
+    def _subtile_update(kd, vd, cc, mchunk, track_step):
+        """One ucc-position sub-tile's online-softmax update. ``kd``/``vd``
+        may be (TN, UCC, M) (per-row path) or (1, UCC, M) (uniform page,
+        broadcast across the tile's rows)."""
+        pos3 = (jax.lax.broadcasted_iota(jnp.int32, (tn, ucc, 1), 1)
+                + cc * ucc)
+        valid = (pos3 < step) & (mchunk != 0)
+        vv = jnp.where(valid, vd, 0.0)
+        prod = q[:, None, :] * kd
+        scores = jnp.dot(
+            prod.reshape(tn * ucc, m), seg,
+            preferred_element_type=jnp.float32,
+        ).reshape(tn, ucc, h) * rsqrt
+        scores = jnp.where(valid, scores, NEG_INF)
+        mx = amx[...]
+        mxc = jnp.max(scores, axis=1)
+        new_mx = jnp.maximum(mx, mxc)
+        alpha = jnp.exp(mx - new_mx)
+        e = jnp.exp(scores - new_mx[:, None, :])
+        aden[...] = aden[...] * alpha + jnp.sum(e, axis=1)
+        wexp = jnp.dot(
+            e.astype(jnp.bfloat16).reshape(tn * ucc, h), seg.T,
+            preferred_element_type=jnp.float32,
+        ).reshape(tn, ucc, m)
+        contrib = jnp.sum(wexp * vv, axis=1)
+        alpha_m = jnp.dot(alpha, segf.T, preferred_element_type=jnp.float32)
+        aacc[...] = aacc[...] * alpha_m + contrib
+        amx[...] = new_mx
+        aprd[...] = aprd[...] * alpha
+        if track_step:
             mflag[...] = mflag[...] + jnp.sum(
                 jnp.where(pos3 == step, mchunk, 0), axis=1
             )
+
+    def body(c, carry):
+        _wait_chunk(c)
+        slot = jax.lax.rem(c, nbuf)
+
+        @pl.when(_is_unif(c))
+        def _():
+            for b in range(nsub):
+                cc = c * nsub + b
+                kst = ksu[slot, b * ucc:(b + 1) * ucc, :]   # (UCC, M)
+                vst = vsu[slot, b * ucc:(b + 1) * ucc, :]
+                msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
+                mchunk = msub[:, :, None]
+                if quant:
+                    # scales are per OWN row (physically reordered by the
+                    # beam search) — on a uniform page all rows carry the
+                    # owner's values, so per-row dequant is exact
+                    ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
+                    vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
+                    kd = (kst.astype(jnp.bfloat16)[None, :, :]
+                          * ksl_c[:, :, None].astype(jnp.bfloat16))
+                    vd = vst.astype(jnp.float32)[None, :, :] * vsl_c[:, :, None]
+                else:
+                    kd = kst.astype(jnp.bfloat16)[None, :, :]
+                    vd = vst.astype(jnp.float32)[None, :, :]
+                # completed pages never contain `step`
+                _subtile_update(kd, vd, cc, mchunk, track_step=False)
+
+        @pl.when(jnp.logical_not(_is_unif(c)))
+        def _():
+            for b in range(nsub):
+                kst = ksc[slot, :, b * ucc:(b + 1) * ucc, :]
+                vst = vsc[slot, :, b * ucc:(b + 1) * ucc, :]
+                cc = c * nsub + b
+                msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
+                mchunk = msub[:, :, None]
+                if quant:
+                    ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
+                    vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
+                    kd = kst.astype(jnp.bfloat16) * ksl_c[:, :, None].astype(jnp.bfloat16)
+                    vd = vst.astype(jnp.float32) * vsl_c[:, :, None]
+                else:
+                    kd = kst.astype(jnp.bfloat16)
+                    vd = vst.astype(jnp.float32)
+                _subtile_update(kd, vd, cc, mchunk, track_step=True)
 
         # active page: merge fresh k/v at `step`, write back to the
         # opposite parity slot (or the main cache when the page completes)
@@ -855,15 +934,14 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
         def _():
             _start_chunk(c + nbuf)
 
-        return mx, den, acc, aprod
+        return 0
 
-    mx, den, acc, aprod = jax.lax.fori_loop(
-        0, nc, body, (mx, den, acc, aprod0)
-    )
+    jax.lax.fori_loop(0, nc, body, 0)
     ok = mflag[...] > 0
-    den = den - jnp.where(jnp.broadcast_to(ok, den.shape), 0.0, aprod)
+    aprod = aprd[...]
+    den = aden[...] - jnp.where(jnp.broadcast_to(ok, aden.shape), 0.0, aprod)
     aprod_m = jnp.dot(aprod, segf.T, preferred_element_type=jnp.float32)
-    acc = acc - jnp.where(ok, 0.0, aprod_m * vh_f)
+    acc = aacc[...] - jnp.where(ok, 0.0, aprod_m * vh_f)
     den_m = jnp.dot(
         jnp.maximum(den, 1e-30), segf.T, preferred_element_type=jnp.float32
     )
@@ -1074,7 +1152,11 @@ def _pick_chunk_paged(n: int, m: int, itemsize: int) -> tuple[int, int, int, int
         if n % tn:
             continue
         for nbuf in (3, 2):
-            need = tn * uc * m * itemsize * (2 * nbuf + 2) + tn * ucc * m * 16
+            need = (
+                tn * uc * m * itemsize * (2 * nbuf + 2)
+                + 2 * nbuf * uc * m * itemsize  # shared uniform-page buffers
+                + tn * ucc * m * 16
+            )
             if need <= budget:
                 return tn, uc, ucc, nbuf
     return (8 if n % 8 == 0 else n), uc, ucc, 2
@@ -1123,7 +1205,17 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
 
     if chunked:
         mask = _prechunk(mask, jnp.int32)
-    operands = [step, table, act_src, q, kh, vh, mask, seg]
+        # uniform-page flags: 1 where every row of a tile owns the same
+        # completed page (deep decode coalesces old pages to one beam
+        # ancestor) — the kernel then DMAs that page ONCE and broadcasts
+        nt = n // tn
+        tblr = table.reshape(nt, tn, table.shape[1])
+        unif = jnp.all(tblr == tblr[:, :1, :], axis=1).astype(jnp.int32)
+        operands = [step, table, act_src, unif, q, kh, vh, mask, seg]
+        nsp = 4
+    else:
+        operands = [step, table, act_src, q, kh, vh, mask, seg]
+        nsp = 3
     if quant:
         in_specs += [flat_spec, flat_spec]
         if chunked:
@@ -1136,17 +1228,20 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
             jax.ShapeDtypeStruct((n, 128), jnp.float32),
             jax.ShapeDtypeStruct((n, 128), jnp.float32),
         ]
-        aliases = {10: 1, 11: 2, 12: 3, 13: 4}
+        aliases = {nsp + 7: 1, nsp + 8: 2, nsp + 9: 3, nsp + 10: 4}
     else:
-        aliases = {8: 1, 9: 2, 10: 3, 11: 4}
+        aliases = {nsp + 5: 1, nsp + 6: 2, nsp + 7: 3, nsp + 8: 4}
     in_specs += [any_spec, any_spec, any_spec, any_spec]
     operands += [cache_k, cache_v, act_k, act_v]
     if chunked:
         ml = max(ucc, 128)
         nsub_tot = u // ucc
+        h = m // d_head
         scratch = [
             pltpu.VMEM((nbuf, tn, uc, m), cache_k.dtype),
             pltpu.VMEM((nbuf, tn, uc, m), cache_v.dtype),
+            pltpu.VMEM((nbuf, uc, m), cache_k.dtype),  # shared uniform pages
+            pltpu.VMEM((nbuf, uc, m), cache_v.dtype),
             pltpu.VMEM((nsub_tot, tn, ml), jnp.int32),
         ]
         if quant:
@@ -1158,8 +1253,13 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
             pltpu.VMEM((tn, uc, m), cache_k.dtype),
             pltpu.VMEM((tn, uc, m), cache_v.dtype),
             pltpu.VMEM((tn, 1), jnp.int32),
+            pltpu.VMEM((tn, h), jnp.float32),   # online-softmax accumulators
+            pltpu.VMEM((tn, h), jnp.float32),
+            pltpu.VMEM((tn, m), jnp.float32),
+            pltpu.VMEM((tn, h), jnp.float32),
             pltpu.SemaphoreType.DMA((5, max(nbuf, 2))),
             pltpu.SemaphoreType.DMA((2, nbuf, tn)),
+            pltpu.SemaphoreType.DMA((2, nbuf)),
         ]
         kernel = functools.partial(
             _kernel_chunked_paged, layer=layer, tn=tn, uc=uc, ucc=ucc,
@@ -1178,7 +1278,7 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
             page=page,
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=nsp,
         grid=(n // tn,),
         in_specs=in_specs,
         out_specs=out_specs,

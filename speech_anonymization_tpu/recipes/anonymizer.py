@@ -94,7 +94,15 @@ class SexAnonymizationBrain(Brain):
         self.model_type = hparams.get("model_type", "convae")
         self.fbank: Fbank = hparams["compute_features"]
         self.normalizer: InputNormalizer = hparams["normalize"]
-        self.model = MODEL_TYPES[self.model_type]()
+        model_cls = MODEL_TYPES[self.model_type]
+        model_kw = {}
+        # GRL strength is a first-class experiment knob for the schedule
+        # sweep (the reference hardcodes scale 1.0 inside GradReverse,
+        # models/FullyConnected.py:11-26; exposing it is a documented
+        # deviation). Only the GRL-carrying models accept it.
+        if "grl_scale" in hparams and hasattr(model_cls, "grl_scale"):
+            model_kw["grl_scale"] = float(hparams["grl_scale"])
+        self.model = model_cls(**model_kw)
         self.train_logger: FileTrainLogger = hparams["train_logger"]
         self.epoch_counter: EpochCounter = hparams["epoch_counter"]
         self.noam: NoamScheduler = hparams.get("noam_annealing") or NoamScheduler()

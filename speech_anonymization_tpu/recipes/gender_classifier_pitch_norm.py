@@ -24,15 +24,16 @@ from ..data.pitch import pitch_normalize
 from . import gender_classifier as base
 
 
-def make_pitch_pipeline(cache_dir: str | None = None, target_f0: float = 500.0, sample_rate: int = 16000):
+def make_pitch_pipeline(cache_dir: str | None = None, target_f0: float = 500.0,
+                        sample_rate: int = 16000, method: str = "world"):
     def audio_pipeline(wav_path):
         if cache_dir:
-            key = hashlib.sha1(wav_path.encode()).hexdigest()[:16]
+            key = hashlib.sha1((wav_path + ":" + method).encode()).hexdigest()[:16]
             cached = os.path.join(cache_dir, key + ".wav")
             if os.path.exists(cached):
                 return read_audio(cached)
         sig, sr = read_audio(wav_path, return_sr=True)
-        out = pitch_normalize(sig, sr, target_f0)
+        out = pitch_normalize(sig, sr, target_f0, method=method)
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
             write_wav(cached, out, sr)
@@ -73,6 +74,10 @@ def main(argv=None):
         cache_dir=hparams.get("pitch_cache_dir") or os.path.join(hparams["save_folder"], "pitch_cache"),
         target_f0=float(hparams.get("pitch_target_f0", 500.0)),
         sample_rate=int(hparams.get("sample_rate", 16000)),
+        # "world" (full vocoder, the reference's pw.wav2world/pw.synthesize
+        # analogue) or "psola" (TD-PSOLA grains) — scripts/vocoder_ab.py
+        # uses the switch to bound vocoder-implementation sensitivity
+        method=str(hparams.get("pitch_method", "world")),
     )
     train_data, valid_data, test_data, _ = base.dataio_prepare(hparams, audio_pipeline=pipeline)
     train_loader, valid_loader, test_loader = base._loaders(hparams, train_data, valid_data, test_data)

@@ -67,6 +67,7 @@ def _random_parent(rng, b, k):
     (jnp.bfloat16, False), (jnp.int8, False),
     (jnp.bfloat16, True), (jnp.int8, True),
     (jnp.bfloat16, "deep"), (jnp.int8, "deep"),
+    (jnp.bfloat16, "deep_unif"), (jnp.int8, "deep_unif"),
 ])
 def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     """Drive the paged kernel through 2 pages + 6 decode steps with a
@@ -78,10 +79,15 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     ``"deep"`` additionally shrinks the page to 16 and forces 2 row
     tiles so the chunk count exceeds the DMA buffer window (nc > nbuf)
     with multiple grid tiles — the steady-state streaming regime of
-    long decodes, previously uncovered off-chip."""
+    long decodes, previously uncovered off-chip. ``"deep_unif"`` makes
+    every row tile sit inside ONE utterance (K == tile rows) and
+    collapses the beam parents for the first pages, so completed pages
+    become tile-UNIFORM and the single-DMA broadcast path runs (the test
+    asserts it was eligible)."""
     rng = np.random.default_rng(0)
     L, B, K, M, H = 2, 2, 4, 256, 4
     N = B * K
+    collapse_until = 0
     if long:
         # force the chunked path: any U exceeds the whole-row bound
         from speech_anonymization_tpu.ops.pallas import attention_step as ats
@@ -91,8 +97,8 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
 
         page = 64
         steps = page + 10  # one completed page + active
-        if long == "deep":
-            B, K = 4, 4
+        if long in ("deep", "deep_unif"):
+            B, K = (2, 8) if long == "deep_unif" else (4, 4)
             N = B * K
             page = 16
             monkeypatch.setattr(ats, "_PAGE_LONG", page)
@@ -101,15 +107,20 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
                 ats, "_pick_chunk_paged", lambda n, m, it: (8, page, page, 3)
             )
             steps = 4 * page + 10  # nc exceeds nbuf=3 from step 48 (and hits 5 at 64)
+            if long == "deep_unif":
+                # all beams re-parent to beam 0 while the first 2+ pages
+                # complete -> their table columns coalesce to one owner
+                collapse_until = 2 * page + 6
     else:
         page = _PAGE
         steps = 2 * _PAGE + 6
     U = -(-(steps + 1) // page) * page
-    if long == "deep":
+    if long in ("deep", "deep_unif"):
         # make_kv_cache rounds long caches to 64-multiples regardless of
         # the (patched) page size
         U = -(-U // 64) * 64
     quant = dtype == jnp.int8
+    uniform_pages_seen = 0
 
     pc = make_kv_cache(N, U, L, H, M // H, dtype=dtype, paged=True)
     assert pc["k"].shape == (L, N, U, M) and "table" in pc
@@ -121,6 +132,14 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     v_true = np.zeros((L, N, U, M), np.float32)
 
     for t in range(steps):
+        if long in ("deep", "deep_unif"):
+            # count tile-uniform completed pages the kernel will see at
+            # this step (tn = 8 under the monkeypatched _pick_chunk_paged)
+            tblr = np.asarray(pc["table"]).reshape(N // 8, 8, U // page)
+            p_act = t // page
+            uniform_pages_seen += int(
+                (tblr[:, :, :p_act] == tblr[:, :1, :p_act]).all(axis=1).sum()
+            )
         for l in range(L):
             q = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
             kh = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
@@ -165,13 +184,20 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
                 k_true[l][:, t] = np.asarray(kh.astype(dtype), np.float32)
                 v_true[l][:, t] = np.asarray(vh.astype(dtype), np.float32)
 
-        parent = _random_parent(rng, B, K)
+        if t < collapse_until:
+            parent = jnp.zeros((B, K), jnp.int32)
+        else:
+            parent = _random_parent(rng, B, K)
         src = np.asarray(
             (parent + jnp.arange(B)[:, None] * K).reshape(-1), np.int32
         )
         pc = beam_reorder_cache(pc, parent, t)
         k_true = k_true[:, src]
         v_true = v_true[:, src]
+
+    if long == "deep_unif":
+        # the whole point of this regime: the uniform broadcast path ran
+        assert uniform_pages_seen > 50, uniform_pages_seen
 
     # final state: reconstruct logical content from pages + parity slots
     # and compare every position <= last step against the ground truth
