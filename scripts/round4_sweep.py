@@ -107,12 +107,19 @@ def main():
                 print(f"[skip] {name} seed={seed} already recorded")
                 continue
             t0 = time.time()
-            out = repro.run_stage2(
-                work, f"anon_{name}_s{seed}", spec["schedule"],
-                model_type=spec.get("model_type", "fcae"),
-                epochs=spec.get("epochs", 40), seed=seed,
-                grl_scale=spec.get("grl_scale"),
-            )
+            try:
+                out = repro.run_stage2(
+                    work, f"anon_{name}_s{seed}", spec["schedule"],
+                    model_type=spec.get("model_type", "fcae"),
+                    epochs=spec.get("epochs", 40), seed=seed,
+                    grl_scale=spec.get("grl_scale"),
+                )
+            except Exception as e:  # record and keep sweeping
+                import traceback
+
+                traceback.print_exc()
+                print(f"[FAILED] {name} seed={seed}: {e!r}")
+                continue
             row = {
                 "variant": name, "seed": seed,
                 "model_type": spec.get("model_type", "fcae"),

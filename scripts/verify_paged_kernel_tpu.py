@@ -64,10 +64,17 @@ def run(long: bool):
     N = B * K
     quant = DTYPE == jnp.int8
     bound = max_u_whole_row(M, max(jnp.dtype(DTYPE).itemsize, 2))
+    deep = os.environ.get("PAGED_DEEP", "0") == "1" and long
     if long:
         U = -(-(bound + 1) // 64) * 64  # first chunked-path size: 448
         steps = 70  # one completed 64-page + 6 into the next
         page = 64
+        if deep:
+            # several completed pages + collapsed parents for the first
+            # two pages -> the ownership table coalesces and the chunked
+            # kernel's UNIFORM-page broadcast path runs on-chip (each row
+            # tile is one utterance's 8 beams at these shapes)
+            steps = 3 * page + 6
     else:
         U = 128
         steps = 38  # one completed 32-page + 6 into the next
@@ -125,7 +132,10 @@ def run(long: bool):
                 k_true[l][:, t] = np.asarray(kh.astype(DTYPE), np.float32)
                 v_true[l][:, t] = np.asarray(vh.astype(DTYPE), np.float32)
 
-        parent = jnp.asarray(rng.integers(0, K, size=(B, K)), jnp.int32)
+        if deep and t < 2 * page + 6:
+            parent = jnp.zeros((B, K), jnp.int32)
+        else:
+            parent = jnp.asarray(rng.integers(0, K, size=(B, K)), jnp.int32)
         src = np.asarray(
             (parent + jnp.arange(B)[:, None] * K).reshape(-1), np.int32
         )

@@ -1144,10 +1144,18 @@ def _pick_chunk_paged(n: int, m: int, itemsize: int) -> tuple[int, int, int, int
     """(tn, uc, ucc, nbuf) for the paged chunked kernel: the DMA grain is
     pinned to the page size (uc = _PAGE_LONG) so every chunk reads exactly
     one page through the ownership table; tn/nbuf fit the same VMEM model
-    as _pick_chunk."""
+    as _pick_chunk. SATPU_CHUNK_{TN,UCC,NBUF} override for tuning runs
+    (e.g. tn=16/ucc=16 halves the grid-tile count at the same VMEM)."""
+    import os
+
     budget = 9 * 2**20
     uc = _PAGE_LONG
-    ucc = min(uc, 32)
+    env_tn = int(os.environ.get("SATPU_CHUNK_TN", "0"))
+    env_ucc = int(os.environ.get("SATPU_CHUNK_UCC", "0"))
+    env_nbuf = int(os.environ.get("SATPU_CHUNK_NBUF", "0"))
+    if env_tn and n % env_tn == 0:
+        return env_tn, uc, env_ucc or min(uc, 32), env_nbuf or 2
+    ucc = env_ucc or min(uc, 32)
     for tn in (16, 8):
         if n % tn:
             continue
