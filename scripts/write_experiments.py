@@ -166,6 +166,19 @@ def main():
             f"{_fmt(r['acc_internal'])} | {_fmt(r['wer_orig'],1)}% | "
             f"{_fmt(r['wer_anon'],1)}% | {_fmt(r['utility'])} |")
 
+    attacks = _load_jsonl(os.path.join(WORK, "attack_results.jsonl"))
+    if attacks:
+        lines.append("\n## Attack after anonymization (scripts/attack_retrain.py)\n")
+        lines.append(
+            "A FRESH gender classifier retrained ON the anonymized features\n"
+            "(the reference's gender_classifier_train_recon recipe) — the\n"
+            "strongest privacy metric: fooling the fixed evaluator is not\n"
+            "enough if a retrained attacker recovers the cue.\n")
+        lines.append("| variant | seed | retrained-attacker ACC (held-out) |")
+        lines.append("|---|---|---|")
+        for a in attacks:
+            lines.append(f"| {a['variant']} | {a['seed']} | **{_fmt(a['attack_acc'])}** |")
+
     if len(ab) == 2:
         d = abs(ab["world"]["acc_pitch_norm"] - ab["psola"]["acc_pitch_norm"])
         lines.append("\n## Vocoder-implementation bound (scripts/vocoder_ab.py)\n")
