@@ -15,13 +15,16 @@ Variant design notes:
   the INTERNAL adversary ends at chance while the EXTERNAL evaluator still
   reads the cue (ACC_ext 0.980) — the GRL scrambled its own head, not the
   feature.
-* ``e2e`` / ``e2e_alt`` reproduce the reference's 1_5_endtoend family
-  (its BEST privacy rows: ACC_ext 0.60->0.22): model_type=endtoend trains
-  the generator DIRECTLY against the frozen external classifier
-  (loss subtracts sex NLL — speechbrain_convae_train.py:111-121), no
-  internal adversary. ``e2e_alt`` is the archived 1_5_endtoend schedule
-  (alternating (recon .4, sex .6) / (recon 0, sex 1.0) phases, there
-  step%200, here per-epoch).
+* ``e2e`` reproduces the reference's 1_5_endtoend family (its BEST
+  privacy rows: ACC_ext 0.60->0.22): model_type=endtoend trains the
+  generator DIRECTLY against the frozen external classifier (loss
+  subtracts sex NLL — speechbrain_convae_train.py:111-121), no internal
+  adversary. Cold-started it collapses (the -sex NLL is unbounded); the
+  ``*_warm`` variants mirror the reference's actual protocol (its
+  endtoend runs RESUMED recon-pretrained models) via a recon-only warm
+  phase resumed in place. ``e2e_conf`` replaces the unbounded -sex term
+  with the bounded drive-the-EXTERNAL-head-to-uniform confusion
+  objective.
 * ``conf``/``mix`` use NEGATIVE confusion weights: for GRL models the
   confusion gradient also passes through the gradient-reversal layer, so
   +w pushes the head output AWAY from uniform; -w is what "drive the head
@@ -52,6 +55,8 @@ ADV = ('{"weights": {"recon": 0.0, "sex": 0.5, "utility": 0.0, "confusion": 0.0}
        ' "train": "sex_classifier"}')
 E2E = ('{"weights": {"recon": %s, "sex": %s, "utility": %s, "confusion": 0.0},'
        ' "train": "all"}')
+E2EC = ('{"weights": {"recon": %s, "sex": %s, "utility": %s, "confusion": %s},'
+        ' "train": "all"}')
 
 
 def _sched(*phases):
@@ -70,16 +75,30 @@ VARIANTS = {
     # 4x reversed-gradient scale on the baseline schedule
     "grl4": dict(schedule=_sched(GEN % (0.5, 0.5, 0.0), ADV), grl_scale=4.0),
     # reference 1_5_endtoend family: train against the FROZEN external
-    # classifier (conv recon model, no internal adversary)
+    # classifier (conv recon model, no internal adversary).
+    # COLD start collapses immediately (-sex NLL is unbounded: measured
+    # epoch 2 valid loss 858, utility 0.36, ACC_ext pinned 0.50 on garbage
+    # features) — kept short to record the negative. The reference never
+    # ran it cold either: 1_5_endtoend resumed a recon-pretrained model
+    # (results/1_5_endtoend/8886/train_log.txt starts from a loaded ckpt).
     "e2e": dict(schedule=_sched(E2E % (0.4, 0.6, 0.0)), model_type="endtoend",
-                epochs=25),
-    "e2e_alt": dict(schedule=_sched(E2E % (0.4, 0.6, 0.0), E2E % (0.0, 1.0, 0.0)),
-                    model_type="endtoend", epochs=25),
-    # reference 1_5_endtoend_resume_with_asr: constant sex0.9/utility0.1
-    # (there resumed from 1_5_endtoend; here run with a recon floor so the
-    # decoder does not start from garbage)
+                epochs=10),
+    # warm variants mirror the reference's resume protocol: recon-only
+    # pretrain in the SAME output dir, then continue with the adversarial
+    # schedule (checkpointer resume carries params + Noam state across).
+    "e2e_warm": dict(schedule=_sched(E2E % (0.4, 0.6, 0.0)), model_type="endtoend",
+                     warm_epochs=10, epochs=15, lr_adam=0.25),
+    # bounded alternative to the unbounded -sex NLL: drive the EXTERNAL
+    # head's output to uniform (confusion = MSE(log-probs, ln 1/2), min at
+    # uniform). endtoend _total subtracts w_conf*confusion, so the
+    # uniform-driving direction is confusion = -0.5.
+    "e2e_conf": dict(schedule=_sched(E2EC % (0.5, 0.0, 0.0, -0.5)),
+                     model_type="endtoend", warm_epochs=6, epochs=19,
+                     lr_adam=0.25),
+    # reference 1_5_endtoend_resume_with_asr: sex-heavy with a utility
+    # anchor, resumed from a recon model (here: warm phase)
     "e2e_util": dict(schedule=_sched(E2E % (0.2, 0.7, 0.1)), model_type="endtoend",
-                     epochs=25),
+                     warm_epochs=10, epochs=15, lr_adam=0.25),
 }
 
 
@@ -107,12 +126,26 @@ def main():
                 print(f"[skip] {name} seed={seed} already recorded")
                 continue
             t0 = time.time()
+            out_name = f"anon_{name}_s{seed}"
+            mt = spec.get("model_type", "fcae")
+            warm = spec.get("warm_epochs", 0)
+            lr = spec.get("lr_adam", 0.55)
             try:
+                if warm:
+                    # recon-only pretrain in the same dir; the adversarial
+                    # run below resumes it (reference resume protocol)
+                    warm_sched = _sched(
+                        E2E % (1.0, 0.0, 0.0) if mt == "endtoend"
+                        else GEN % (1.0, 0.0, 0.0)
+                    )
+                    repro.run_stage2(
+                        work, out_name, warm_sched, model_type=mt,
+                        epochs=warm, seed=seed, lr_adam=lr,
+                    )
                 out = repro.run_stage2(
-                    work, f"anon_{name}_s{seed}", spec["schedule"],
-                    model_type=spec.get("model_type", "fcae"),
-                    epochs=spec.get("epochs", 40), seed=seed,
-                    grl_scale=spec.get("grl_scale"),
+                    work, out_name, spec["schedule"], model_type=mt,
+                    epochs=warm + spec.get("epochs", 40), seed=seed,
+                    grl_scale=spec.get("grl_scale"), lr_adam=lr,
                 )
             except Exception as e:  # record and keep sweeping
                 import traceback
@@ -122,8 +155,10 @@ def main():
                 continue
             row = {
                 "variant": name, "seed": seed,
-                "model_type": spec.get("model_type", "fcae"),
+                "model_type": mt,
                 "epochs": spec.get("epochs", 40),
+                "warm_epochs": warm,
+                "lr_adam": lr,
                 "grl_scale": spec.get("grl_scale"),
                 "schedule": spec["schedule"],
                 "acc_orig": acc_orig, "wer_asr": wer_asr,
