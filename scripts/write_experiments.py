@@ -202,14 +202,17 @@ def main():
 
     lines.append(
         "\n## Commands\n\n"
-        "    python scripts/round4_sweep.py baseline e2e_alt conf grl4 adv4 ...\n"
+        "    python scripts/round4_sweep.py baseline e2e_warm e2e_conf conf grl4 ...\n"
         "    python scripts/round4_sweep.py <winner> --seeds=0,1,2\n"
+        "    python scripts/attack_retrain.py <winner> <seed>\n"
         "    python scripts/vocoder_ab.py\n"
         "    python scripts/write_experiments.py\n\n"
         "(recipe chain per run: gender_classifier.yaml 8 epochs ->\n"
         "transformer.yaml tiny ASR (64d, 2+2 layers, beam 4) 40 epochs ->\n"
-        "convae.yaml with the variant's adversarial_schedule; lr_adam 0.55,\n"
-        "n_warmup_steps 100 -> peak lr ~2e-3 at this step count; external\n"
+        "convae.yaml with the variant's adversarial_schedule; lr_adam 0.55\n"
+        "for fcae / 0.25 for endtoend variants, n_warmup_steps 100; `*_warm`\n"
+        "variants prepend a recon-only phase resumed in place (the\n"
+        "reference's endtoend runs resumed recon-pretrained models); external\n"
         "evaluator from stage 1 + ASR from stage 1.5 attached; disjoint test\n"
         "speakers throughout. Deterministic, CPU.)\n")
 
