@@ -35,6 +35,7 @@ from .ctc_prefix import (
     ctc_prepare,
     ctc_score_candidates_prepared,
     mask_ctc_log_probs,
+    pad_ctc_frames,
 )
 from .topk import fast_top_k_counted
 
@@ -99,7 +100,9 @@ def beam_search(
     if use_ctc:
         v = ctc_log_probs.shape[-1]
         x_ctc = mask_ctc_log_probs(ctc_log_probs, enc_lens, cfg.blank_index)
-        prep = ctc_prepare(x_ctc, cfg.blank_index, k=k)  # x stays (B, T, V)
+        t_real = x_ctc.shape[1]
+        x_ctc = pad_ctc_frames(x_ctc)
+        prep = ctc_prepare(x_ctc, cfg.blank_index, k=k, t_real=t_real)
         ctc_state = ctc_init_state(x_ctc, cfg.blank_index, k=k)
     else:
         prep = None

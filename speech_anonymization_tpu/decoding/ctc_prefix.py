@@ -26,8 +26,12 @@ decode step and dominates decode latency):
     homogeneous matrices, solved with jax.lax.associative_scan in
     O(log T) sequential stages.
 
-Padding frames are neutralized by giving them blank log-prob 0 and -inf
-elsewhere, which leaves every recursion invariant.
+Per-item length padding is neutralized by giving those frames blank
+log-prob 0 and -inf elsewhere (:func:`mask_ctc_log_probs` — absorbs each
+item's full score up to the shared static last frame); lane padding to
+the 128 multiple uses ALL -inf rows plus a static last-real-frame index
+(:func:`pad_ctc_frames` — see its docstring for why blank-neutral rows
+are NOT safe there).
 """
 
 from __future__ import annotations
@@ -52,6 +56,7 @@ class PreparedCTC(NamedTuple):
     exp_x: jax.Array    # (B, T, V) = exp(x)
     blank_lp: jax.Array  # (B, T)
     k: int = 1          # beams per batch item; states have N = B*k rows
+    t_real: int = -1    # pre-lane-pad frame count (static); -1 = x's own T
 
 
 def mask_ctc_log_probs(x: jax.Array, enc_lens: jax.Array, blank: int = 0) -> jax.Array:
@@ -62,13 +67,48 @@ def mask_ctc_log_probs(x: jax.Array, enc_lens: jax.Array, blank: int = 0) -> jax
     return jnp.where(valid[:, :, None], x, pad_row[None, None, :])
 
 
-def ctc_prepare(x: jax.Array, blank: int = 0, k: int = 1) -> PreparedCTC:
+def pad_ctc_frames(x: jax.Array, multiple: int = 128) -> jax.Array:
+    """Pad the frame axis of (B, T, V) log-probs to a lane multiple with
+    ALL -inf rows. Without this, XLA pads the (B, T, V) operand of the
+    per-step scoring matmul INSIDE the decode loop: the traced 30 s
+    decode showed a ~0.37 ms/step, ~120 MB `pad` there.
+
+    Unlike :func:`mask_ctc_log_probs`' per-item length rows (blank logp
+    0, which ABSORB each item's full score up to the shared last frame so
+    the eos column can read one static index), lane-pad rows must be -inf
+    in the blank column too: a blank-prob-1 frame is only neutral while
+    no hypothesis token equals the blank. In the collapsed regime (prefix
+    longer than the alignable frames, every candidate ~NEG_INF) the beam
+    can commit the blank as an ordinary token, and blank-neutral pad rows
+    then hand that prefix spurious continuation mass (l_nb[pad] = 0 +
+    LSE(l_nb, q) keeps growing) — measured as fast/slow divergence in
+    tests/test_beam_search_reference.py. All--inf rows contribute
+    exp(-inf) = 0 to every scoring reduction and every advance recursion;
+    callers pass the pre-pad frame count to :func:`ctc_prepare` as
+    ``t_real`` so the eos column keeps reading the last REAL frame."""
+    b, t, v = x.shape
+    rem = (-t) % multiple
+    if rem == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((b, rem, v), NEG_INF, x.dtype)], axis=1
+    )
+
+
+def ctc_prepare(
+    x: jax.Array, blank: int = 0, k: int = 1, t_real: int | None = None
+) -> PreparedCTC:
     """Cache exp(x) once per decode (x fixed across decode steps).
 
     ``x`` is (B, T, V); with ``k`` beams the prefix states carry N = B*k
     rows while x/exp_x stay un-replicated (beams of an item share its x).
-    """
-    return PreparedCTC(x=x, exp_x=jnp.exp(x), blank_lp=x[:, :, blank], k=k)
+    ``t_real`` is the frame count before :func:`pad_ctc_frames` (the eos
+    column reads the forward variables at frame ``t_real - 1``; the -inf
+    lane-pad rows beyond it carry no mass)."""
+    return PreparedCTC(
+        x=x, exp_x=jnp.exp(x), blank_lp=x[:, :, blank], k=k,
+        t_real=x.shape[1] if t_real is None else t_real,
+    )
 
 
 def ctc_init_state(x: jax.Array, blank: int = 0, k: int = 1) -> CTCPrefixState:
@@ -136,8 +176,11 @@ def ctc_score_candidates_prepared(
     is_last = (token_ids == last[:, None]) & has_last[:, None]
     psi = jnp.where(is_last, psi_last[:, None], psi)
 
-    # eos: full-sequence score (final frame; padding frames keep it constant)
-    full = _logaddexp(state.r_nb[:, -1], state.r_b[:, -1])
+    # eos: full-sequence score at the last REAL frame (mask_ctc_log_probs'
+    # per-item rows absorb shorter items' scores up to it; -inf lane-pad
+    # rows beyond it carry no mass, so index there, not at -1)
+    tr = prep.t_real if prep.t_real > 0 else t
+    full = _logaddexp(state.r_nb[:, tr - 1], state.r_b[:, tr - 1])
     psi = psi.at[:, eos_index].set(full)
     # block blank for joint scoring: the reference scorer masks the blank
     # column before fusing with attention/LM scores (SpeechBrain 0.5

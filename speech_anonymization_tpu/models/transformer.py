@@ -19,6 +19,7 @@ matmuls use the TPU default (bf16-pass) precision on f32 params.
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -281,8 +282,13 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
     n, u = mask_nu.shape
     m = cache["k"].shape[-1]
     paged = "table" in cache
+    # SATPU_FORCE_KERNEL_INTERPRET=1 routes CPU runs through the kernel
+    # branch in Pallas interpret mode — the only way the suite can cover
+    # this branch (its scale plumbing, cache threading, finalize) without
+    # a real chip
+    interp = os.environ.get("SATPU_FORCE_KERNEL_INTERPRET", "0") == "1"
     use_kernel = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interp)
         and m % 128 == 0
         and u % 8 == 0
         and n % 8 == 0
@@ -299,11 +305,19 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
 
         seg = head_segments(m, nhead)
         cell = dict(cache)
+        # fresh-position scale columns, collected across layers and written
+        # with ONE stacked dynamic_update_slice in finalize: the traced
+        # 30 s decode showed a ~257 us HBM-bound DUS per layer per step
+        # when each layer updated the (L, N, U) scale arrays separately
+        ksos, vsos = [], []
 
         def make(i):
             def attend(qh, kh, vh):
+                # scales for positions < step only (the kernel handles the
+                # fresh position internally), so reading the step-start
+                # arrays is exact
                 scales = (
-                    {"k_scale": cell["k_scale"][i], "v_scale": cell["v_scale"][i]}
+                    {"k_scale": cache["k_scale"][i], "v_scale": cache["v_scale"][i]}
                     if quant else {}
                 )
                 if paged:
@@ -312,7 +326,7 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
                         mask_nu, cell["k"], cell["v"],
                         cell["k_act"], cell["v_act"],
                         cell["table"], cell["act_src"], step, i, nhead, seg,
-                        **scales,
+                        interpret=interp, **scales,
                     )
                     if quant:
                         (out, cell["k"], cell["v"], cell["k_act"],
@@ -323,26 +337,29 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
                     res = cached_attention_step(
                         qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
                         mask_nu, cell["k"], cell["v"], step, i, nhead, seg,
-                        **scales,
+                        interpret=interp, **scales,
                     )
                     if quant:
                         out, cell["k"], cell["v"], kso, vso = res
                     else:
                         out, cell["k"], cell["v"] = res
                 if quant:
-                    # fresh position's scales -> (L, N, U) arrays
-                    cell["k_scale"] = jax.lax.dynamic_update_slice(
-                        cell["k_scale"], kso[:, 0].reshape(1, n, 1), (i, 0, step)
-                    )
-                    cell["v_scale"] = jax.lax.dynamic_update_slice(
-                        cell["v_scale"], vso[:, 0].reshape(1, n, 1), (i, 0, step)
-                    )
+                    ksos.append(kso[:, 0])
+                    vsos.append(vso[:, 0])
                 return out.reshape(n, 1, nhead, m // nhead)
 
             return attend
 
         def finalize(khs, vhs):
-            return {key: cell[key] for key in cache if key != "tokens"}
+            out = {key: cell[key] for key in cache if key != "tokens"}
+            if quant:
+                out["k_scale"] = jax.lax.dynamic_update_slice(
+                    cache["k_scale"], jnp.stack(ksos)[:, :, None], (0, 0, step)
+                )
+                out["v_scale"] = jax.lax.dynamic_update_slice(
+                    cache["v_scale"], jnp.stack(vsos)[:, :, None], (0, 0, step)
+                )
+            return out
 
         return [make(i) for i in range(len(layers))], finalize
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -613,7 +614,7 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
 
 def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
                           kh_ref, vh_ref, mask_ref, seg_ref, *rest, layer,
-                          tn, uc, ucc, nbuf, d_head, quant):
+                          tn, uc, ucc, nbuf, d_head, quant, unif_mxu):
     """Paged variant of the chunked online-softmax kernel. The DMA grain
     equals the page size (``uc == _PAGE_LONG``), so every chunk is exactly
     one page: completed pages stream from their table-owner row (one
@@ -808,8 +809,61 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
     aprd[...] = jnp.ones((tn, h), jnp.float32)
     mflag[...] = jnp.zeros((tn, 1), jnp.int32)
 
+    if unif_mxu:
+        # head-expanded queries for the uniform-page MXU path, built once
+        # per tile: qseg[r*h + j, d] = q[r, d] * [d // d_head == j]. The
+        # multiply is by 0/1, so qseg is EXACT (no extra rounding); it
+        # turns the per-head QK dot into one (tn*h, m) @ (ucc, m)^T matmul
+        hh = jax.lax.broadcasted_iota(jnp.int32, (h, m), 0)
+        dh = jax.lax.broadcasted_iota(jnp.int32, (h, m), 1) // d_head
+        segT = (dh == hh).astype(jnp.bfloat16)           # (h, m) = seg.T
+        qseg = (q[:, None, :] * segT[None, :, :]).reshape(tn * h, m)
+        segT_f = segT.astype(jnp.float32)
+
     for cp in _flat_copies():
         cp.wait()
+
+    def _subtile_update_unif(kst_b, vst_b, msub, ksl_c, vsl_c):
+        """Uniform-page sub-tile update with MXU matmuls: all tn rows share
+        the page's K/V bytes, so QK^T is one (tn*h, m) x (ucc, m)^T matmul
+        against the head-expanded queries and PV one (tn*h, ucc) x (ucc, m)
+        matmul followed by a seg-select — ~7x less VPU elementwise work
+        than the broadcast path (the traced 30 s decode is VPU-bound, not
+        DMA-bound: a 6x HBM-byte cut moved the deep step only 18%). int8
+        dequant stays exactly PER ROW: the K scale factors out of the dot
+        (applied to the (tn, h, ucc) scores) and the V scale folds into
+        the softmax weights before the PV matmul — only the raw shared
+        int8 bytes enter the MXU. Only COMPLETED pages take this path, so
+        every position is < step (no fresh-token tracking; cache contents
+        are finite by construction) and validity is the pad mask alone."""
+        valid = msub != 0                                  # (tn, ucc)
+        s2 = jax.lax.dot_general(
+            qseg, kst_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (tn*h, ucc)
+        s3 = s2.reshape(tn, h, ucc) * rsqrt
+        if quant:
+            s3 = s3 * ksl_c[:, None, :]
+        s3 = jnp.where(valid[:, None, :], s3, NEG_INF)
+        mx = amx[...]
+        new_mx = jnp.maximum(mx, jnp.max(s3, axis=2))
+        alpha = jnp.exp(mx - new_mx)
+        e = jnp.exp(s3 - new_mx[:, :, None])               # masked -> exp(-inf)=0
+        aden[...] = aden[...] * alpha + jnp.sum(e, axis=2)
+        if quant:
+            ew = e * vsl_c[:, None, :]
+        else:
+            ew = e
+        ctx = jax.lax.dot_general(
+            ew.astype(jnp.bfloat16).reshape(tn * h, ucc), vst_b,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(tn, h, m)
+        contrib = jnp.sum(ctx * segT_f[None, :, :], axis=1)  # (tn, m)
+        alpha_m = jnp.dot(alpha, segf.T, preferred_element_type=jnp.float32)
+        aacc[...] = aacc[...] * alpha_m + contrib
+        amx[...] = new_mx
+        aprd[...] = aprd[...] * alpha
 
     def _subtile_update(kd, vd, cc, mchunk, track_step):
         """One ucc-position sub-tile's online-softmax update. ``kd``/``vd``
@@ -856,13 +910,20 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
                 kst = ksu[slot, b * ucc:(b + 1) * ucc, :]   # (UCC, M)
                 vst = vsu[slot, b * ucc:(b + 1) * ucc, :]
                 msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
-                mchunk = msub[:, :, None]
+                ksl_c = vsl_c = None
                 if quant:
-                    # scales are per OWN row (physically reordered by the
-                    # beam search) — on a uniform page all rows carry the
-                    # owner's values, so per-row dequant is exact
+                    # scales stay per OWN row (physically reordered by
+                    # the beam search) — only the page BYTES are shared
                     ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
                     vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
+                if unif_mxu:
+                    _subtile_update_unif(
+                        kst.astype(jnp.bfloat16), vst.astype(jnp.bfloat16),
+                        msub, ksl_c, vsl_c,
+                    )
+                    continue
+                mchunk = msub[:, :, None]
+                if quant:
                     kd = (kst.astype(jnp.bfloat16)[None, :, :]
                           * ksl_c[:, :, None].astype(jnp.bfloat16))
                     vd = vst.astype(jnp.float32)[None, :, :] * vsl_c[:, :, None]
@@ -1272,6 +1333,9 @@ def _attn_step_paged_call(q, kh, vh, mask, cache_k, cache_v, act_k, act_v,
         kernel = functools.partial(
             _kernel_chunked_paged, layer=layer, tn=tn, uc=uc, ucc=ucc,
             nbuf=nbuf, d_head=d_head, quant=quant,
+            # SATPU_UNIF_MXU=0 restores the broadcast (per-row VPU) compute
+            # for uniform pages — A/B knob for the MXU restructure
+            unif_mxu=os.environ.get("SATPU_UNIF_MXU", "1") != "0",
         )
     else:
         scratch = [

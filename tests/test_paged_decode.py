@@ -270,3 +270,53 @@ def test_beam_search_paged_equals_physical(dtype):
     np.testing.assert_allclose(
         np.asarray(outs[False][2]), np.asarray(outs[True][2]), atol=1e-5
     )
+
+
+def test_make_attends_kernel_branch_interpret(monkeypatch):
+    """Cover the _make_attends KERNEL branch off-chip (Pallas interpret via
+    SATPU_FORCE_KERNEL_INTERPRET): scale plumbing, cache threading through
+    the per-layer closures, the stacked per-step scale update in finalize,
+    and the uniform-page MXU subtile path, driven through a full
+    TransformerLM.decode_step chain with beam reorders and page
+    completions, against the jnp paged fallback (the reference math).
+    Without this the kernel branch only ever runs on a real chip."""
+    from speech_anonymization_tpu.models.transformer import TransformerLM
+    from speech_anonymization_tpu.ops.pallas import attention_step as ats
+
+    L, B, K, M, H = 2, 2, 8, 128, 2
+    N = B * K
+    page = 16
+    monkeypatch.setattr(ats, "max_u_whole_row", lambda m, i: 8)
+    monkeypatch.setattr(ats, "_PAGE_LONG", page)
+    monkeypatch.setattr(ats, "_pick_chunk_paged", lambda n, m, it: (8, page, page, 3))
+    lm = TransformerLM(vocab=32, d_model=M, nhead=H, num_layers=L, d_ffn=64,
+                       max_len=64)
+    variables = lm.init(KEY, jnp.zeros((1, 4), jnp.int32))
+    steps, u_max = 40, 48
+
+    def run(force_kernel):
+        if force_kernel:
+            monkeypatch.setenv("SATPU_FORCE_KERNEL_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("SATPU_FORCE_KERNEL_INTERPRET", raising=False)
+        pc = make_kv_cache(N, u_max, L, H, M // H, jnp.int8, paged=True)
+        rr = np.random.default_rng(7)
+        outs = []
+        for t in range(steps):
+            token = jnp.asarray(rr.integers(1, 32, size=(N,)), jnp.int32)
+            logits, pc = lm.apply(variables, token, pc, t,
+                                  method=TransformerLM.decode_step)
+            outs.append(logits)
+            # collapsed parents while pages 0-1 complete -> tile-UNIFORM
+            # completed pages (K == tile rows), then random reorders
+            parent = (jnp.zeros((B, K), jnp.int32) if t < 2 * page
+                      else jnp.asarray(rr.integers(0, K, (B, K)), jnp.int32))
+            pc = beam_reorder_cache(pc, parent, t)
+        return np.asarray(jnp.stack(outs))
+
+    ref = run(False)
+    got = run(True)
+    rel = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-9)
+    # both branches quantize the fresh k/v independently (f32- vs
+    # bf16-derived amax), so agreement is quantization-grade, not exact
+    assert rel < 6e-2, rel
