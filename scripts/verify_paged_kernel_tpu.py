@@ -25,6 +25,7 @@ from speech_anonymization_tpu.models.transformer import (
 )
 from speech_anonymization_tpu.ops.pallas.attention_step import (
     cached_attention_step_paged,
+    cached_attention_step_paged_fused,
     max_u_whole_row,
 )
 
@@ -82,7 +83,13 @@ def run(long: bool):
     assert (U > bound) == long, (U, bound)
 
     pc = make_kv_cache(N, U, L, H, M // H, dtype=DTYPE, paged=True)
-    assert pc["k_act"].shape[3] == page, (pc["k_act"].shape, page)
+    fused = "kv" in pc  # fused-KV long layout (make_kv_cache default)
+    if fused:
+        assert pc["kv_act"].shape[3] == 2 * page, (pc["kv_act"].shape, page)
+    else:
+        assert pc["k_act"].shape[3] == page, (pc["k_act"].shape, page)
+    print(f"  [{'long' if long else 'short'}] layout: "
+          f"{'FUSED kv' if fused else 'split k/v'}", flush=True)
     mask = jnp.ones((N, U), jnp.int8)
     k_true = np.zeros((L, N, U, M), np.float32)
     v_true = np.zeros((L, N, U, M), np.float32)
@@ -97,16 +104,27 @@ def run(long: bool):
                 {"k_scale": pc["k_scale"][l], "v_scale": pc["v_scale"][l]}
                 if quant else {}
             )
-            res = cached_attention_step_paged(
-                q, kh, vh, mask, pc["k"], pc["v"], pc["k_act"], pc["v_act"],
-                pc["table"], pc["act_src"], t, l, H, **scales,
-            )
+            if fused:
+                res = cached_attention_step_paged_fused(
+                    q, kh, vh, mask, pc["kv"], pc["kv_act"],
+                    pc["table"], pc["act_src"], t, l, H, **scales,
+                )
+                if quant:
+                    out, pc["kv"], pc["kv_act"], kso, vso = res
+                else:
+                    out, pc["kv"], pc["kv_act"] = res
+            else:
+                res = cached_attention_step_paged(
+                    q, kh, vh, mask, pc["k"], pc["v"], pc["k_act"], pc["v_act"],
+                    pc["table"], pc["act_src"], t, l, H, **scales,
+                )
+                if quant:
+                    out, pc["k"], pc["v"], pc["k_act"], pc["v_act"], kso, vso = res
+                else:
+                    out, pc["k"], pc["v"], pc["k_act"], pc["v_act"] = res
             if quant:
-                out, pc["k"], pc["v"], pc["k_act"], pc["v_act"], kso, vso = res
                 pc["k_scale"] = pc["k_scale"].at[l, :, t].set(kso[:, 0])
                 pc["v_scale"] = pc["v_scale"].at[l, :, t].set(vso[:, 0])
-            else:
-                out, pc["k"], pc["v"], pc["k_act"], pc["v_act"] = res
 
             want = _ref_attend(
                 np.asarray(q), np.asarray(kh), np.asarray(vh),

@@ -87,12 +87,27 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
         page = _PAGE_LONG  # paged long caches: page == chunk DMA grain
     if paged:
         u_max = -(-u_max // page) * page
-    cache = {
-        "k": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
-        "v": jnp.zeros((num_layers, batch, u_max, nhead * d_head), dtype),
-        # init to pad so un-written positions are masked like the full path
-        "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
-    }
+    # FUSED-KV layout for chunked-regime paged caches: the traced 30 s
+    # decode is dominated by the scalar core issuing per-(row, page) DMA
+    # descriptors inside the paged kernel (~2k per invocation, independent
+    # of tiling); storing each page as 2*page consecutive positions
+    # [K-page, V-page] makes every such transfer ONE descriptor instead of
+    # a K/V pair. SATPU_FUSED_KV=0 restores the split layout (A/B knob).
+    fused = (paged and page == _PAGE_LONG
+             and os.environ.get("SATPU_FUSED_KV", "1") != "0")
+    m = nhead * d_head
+    if fused:
+        cache = {
+            "kv": jnp.zeros((num_layers, batch, 2 * u_max, m), dtype),
+            "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
+        }
+    else:
+        cache = {
+            "k": jnp.zeros((num_layers, batch, u_max, m), dtype),
+            "v": jnp.zeros((num_layers, batch, u_max, m), dtype),
+            # init to pad so un-written positions are masked like the full path
+            "tokens": jnp.full((batch, u_max), pad_index, jnp.int32),
+        }
     if paged:
         # lazy-beam-reorder state: completed-page ownership table (each
         # row initially owns its pages), the beam parent whose parity slot
@@ -101,13 +116,17 @@ def make_kv_cache(batch: int, u_max: int, num_layers: int, nhead: int, d_head: i
         # present, beam_reorder_cache never copies k/v — the reorder pass
         # (a full live-cache read+write per step, as large as the
         # attention reads themselves) becomes an int-table gather.
-        m = nhead * d_head
         cache["table"] = jnp.broadcast_to(
             jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, u_max // page)
         )
         cache["act_src"] = jnp.arange(batch, dtype=jnp.int32)
-        cache["k_act"] = jnp.zeros((num_layers, batch, 2, page, m), dtype)
-        cache["v_act"] = jnp.zeros((num_layers, batch, 2, page, m), dtype)
+        if fused:
+            cache["kv_act"] = jnp.zeros(
+                (num_layers, batch, 2, 2 * page, m), dtype
+            )
+        else:
+            cache["k_act"] = jnp.zeros((num_layers, batch, 2, page, m), dtype)
+            cache["v_act"] = jnp.zeros((num_layers, batch, 2, page, m), dtype)
     if dtype == jnp.int8:
         # symmetric per-(layer, row, position) dequant scales (quantized
         # serving mode — halves the cache bytes that dominate decode)
@@ -156,11 +175,10 @@ def beam_reorder_cache(cache: dict, parent: jax.Array, step=None) -> dict:
         completes = (step % page) == (page - 1)
         col = jnp.where(completes, step // page, up)  # up = out of range
         tbl = jnp.where(jnp.arange(up)[None, :] == col, src[:, None], tbl)
-        out = {
-            "k": cache["k"], "v": cache["v"],
-            "k_act": cache["k_act"], "v_act": cache["v_act"],
-            "table": tbl, "act_src": src, "tokens": toks,
-        }
+        out = {"table": tbl, "act_src": src, "tokens": toks}
+        for key in ("k", "v", "k_act", "v_act", "kv", "kv_act"):
+            if key in cache:  # content never moves — ownership does
+                out[key] = cache[key]
         for key in ("k_scale", "v_scale"):
             if key in cache:  # (L, N, U) — small, physically gathered
                 out[key] = jnp.take(cache[key], src, axis=1)
@@ -186,7 +204,8 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
     materialization per step: a correctness oracle, not a fast path.
     """
     n, u = mask_nu.shape
-    m = cache["k"].shape[-1]
+    fused = "kv" in cache  # fused-KV long layout: pages stored [K, V]
+    m = (cache["kv"] if fused else cache["k"]).shape[-1]
     up = cache["table"].shape[1]
     page = u // up  # 32 (whole-row) or 64 (chunked) — see make_kv_cache
     step = jnp.asarray(step, jnp.int32)
@@ -196,6 +215,16 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
     par_r = (step + 1) % 2
     tbl = cache["table"]
     asrc = cache["act_src"]
+
+    def _views(i):
+        """Per-layer (k_main, v_main, k_act, v_act) views of either layout."""
+        if fused:
+            kvb = cache["kv"][i].reshape(n, up, 2, page, m)
+            ab = cache["kv_act"][i]  # (N, 2, 2*page, M)
+            return (kvb[:, :, 0].reshape(n, u, m), kvb[:, :, 1].reshape(n, u, m),
+                    ab[:, :, :page], ab[:, :, page:])
+        return (cache["k"][i], cache["v"][i],
+                cache["k_act"][i], cache["v_act"][i])
 
     def materialize(buf, act):
         # buf: (N, U, M) one layer's main cache; act: (N, 2, P, M)
@@ -210,8 +239,9 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
 
     def make(i, attn):
         def attend(qh, kh, vh):
-            k_buf = materialize(cache["k"][i], cache["k_act"][i])
-            v_buf = materialize(cache["v"][i], cache["v_act"][i])
+            k_main, v_main, k_act, v_act = _views(i)
+            k_buf = materialize(k_main, k_act)
+            v_buf = materialize(v_main, v_act)
             scales = (
                 (cache["k_scale"][i], cache["v_scale"][i]) if quant else (None, None)
             )
@@ -226,8 +256,12 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
         ks = jnp.stack(khs)[:, :, 0]  # (L, N, M) f32
         vs = jnp.stack(vhs)[:, :, 0]
         out = {key: cache[key] for key in cache if key != "tokens"}
-        gk = jnp.take(jnp.take(cache["k_act"], asrc, axis=1), par_r, axis=2)
-        gv = jnp.take(jnp.take(cache["v_act"], asrc, axis=1), par_r, axis=2)
+        if fused:
+            ga = jnp.take(jnp.take(cache["kv_act"], asrc, axis=1), par_r, axis=2)
+            gk, gv = ga[:, :, :page], ga[:, :, page:]
+        else:
+            gk = jnp.take(jnp.take(cache["k_act"], asrc, axis=1), par_r, axis=2)
+            gv = jnp.take(jnp.take(cache["v_act"], asrc, axis=1), par_r, axis=2)
         if quant:
             k_amax = jnp.maximum(jnp.max(jnp.abs(ks), axis=-1, keepdims=True), 1e-6)
             v_amax = jnp.maximum(jnp.max(jnp.abs(vs), axis=-1, keepdims=True), 1e-6)
@@ -241,11 +275,23 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
                 cache["v_scale"], (v_amax / 127.0).reshape(l, n, 1), (0, 0, step)
             )
         else:
-            kf = ks.astype(cache["k"].dtype)
-            vf = vs.astype(cache["v"].dtype)
+            cdtype = (cache["kv"] if fused else cache["k"]).dtype
+            kf = ks.astype(cdtype)
+            vf = vs.astype(cdtype)
         posP = jnp.arange(page)[None, None, :, None]
         mk = jnp.where(posP == o, kf[:, :, None, :], gk)  # (L, N, P, M)
         mv = jnp.where(posP == o, vf[:, :, None, :], gv)
+        completes = o == (page - 1)
+        if fused:
+            mkv = jnp.concatenate([mk, mv], axis=2)  # fused page [K, V]
+            out["kv_act"] = jax.lax.dynamic_update_slice(
+                cache["kv_act"], mkv[:, :, None], (0, 0, par_w, 0, 0)
+            )
+            kvm = jax.lax.dynamic_update_slice(
+                cache["kv"], mkv, (0, 0, p_act * 2 * page, 0)
+            )
+            out["kv"] = jnp.where(completes, kvm, cache["kv"])
+            return out
         out["k_act"] = jax.lax.dynamic_update_slice(
             cache["k_act"], mk[:, :, None], (0, 0, par_w, 0, 0)
         )
@@ -254,7 +300,6 @@ def _make_attends_paged_jnp(attns, cache, mask_nu, step, nhead, quant):
         )
         km = jax.lax.dynamic_update_slice(cache["k"], mk, (0, 0, p_act * page, 0))
         vm = jax.lax.dynamic_update_slice(cache["v"], mv, (0, 0, p_act * page, 0))
-        completes = o == (page - 1)
         out["k"] = jnp.where(completes, km, cache["k"])
         out["v"] = jnp.where(completes, vm, cache["v"])
         return out
@@ -280,7 +325,9 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
     from ..ops.pallas.attention_step import max_u_for_kernel
 
     n, u = mask_nu.shape
-    m = cache["k"].shape[-1]
+    fused = "kv" in cache  # fused-KV long paged layout (make_kv_cache)
+    kv_key = "kv" if fused else "k"
+    m = cache[kv_key].shape[-1]
     paged = "table" in cache
     # SATPU_FORCE_KERNEL_INTERPRET=1 routes CPU runs through the kernel
     # branch in Pallas interpret mode — the only way the suite can cover
@@ -295,12 +342,13 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
         # short caches take the whole-row kernel; beyond its VMEM bound a
         # chunked online-softmax kernel streams U (attention_step.py), so
         # this cap is only a pathological-shape backstop for the jnp path
-        and u <= max_u_for_kernel(m, max(cache["k"].dtype.itemsize, 2))
+        and u <= max_u_for_kernel(m, max(cache[kv_key].dtype.itemsize, 2))
     )
     quant = "k_scale" in cache
     if use_kernel:
         from ..ops.pallas.attention_step import (
-            cached_attention_step, cached_attention_step_paged, head_segments,
+            cached_attention_step, cached_attention_step_paged,
+            cached_attention_step_paged_fused, head_segments,
         )
 
         seg = head_segments(m, nhead)
@@ -320,7 +368,18 @@ def _make_attends(layers, attns, cache, mask_nu, step, nhead):
                     {"k_scale": cache["k_scale"][i], "v_scale": cache["v_scale"][i]}
                     if quant else {}
                 )
-                if paged:
+                if paged and fused:
+                    res = cached_attention_step_paged_fused(
+                        qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
+                        mask_nu, cell["kv"], cell["kv_act"],
+                        cell["table"], cell["act_src"], step, i, nhead, seg,
+                        interpret=interp, **scales,
+                    )
+                    if quant:
+                        out, cell["kv"], cell["kv_act"], kso, vso = res
+                    else:
+                        out, cell["kv"], cell["kv_act"] = res
+                elif paged:
                     res = cached_attention_step_paged(
                         qh.reshape(n, m), kh.reshape(n, m), vh.reshape(n, m),
                         mask_nu, cell["k"], cell["v"],

@@ -614,7 +614,8 @@ def _kernel_paged(step_ref, tbl_ref, asrc_ref, q_ref, kh_ref, vh_ref,
 
 def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
                           kh_ref, vh_ref, mask_ref, seg_ref, *rest, layer,
-                          tn, uc, ucc, nbuf, d_head, quant, unif_mxu):
+                          tn, uc, ucc, nbuf, d_head, quant, unif_mxu,
+                          fused=False):
     """Paged variant of the chunked online-softmax kernel. The DMA grain
     equals the page size (``uc == _PAGE_LONG``), so every chunk is exactly
     one page: completed pages stream from their table-owner row (one
@@ -639,7 +640,25 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
     compute into per-unique-page MXU matmuls, BENCHMARKS.md). The online
     -softmax accumulators live in VMEM scratch so the uniform/mixed
     paths can be disjoint ``pl.when`` branches."""
-    if quant:
+    if fused:
+        # FUSED K+V layout: the main cache stores each logical page as
+        # 2*uc consecutive positions [K-page, V-page] and the parity
+        # slots hold (2*uc, m) fused pages, so every per-(row, page)
+        # transfer is ONE descriptor + ONE semaphore op instead of two.
+        # The traced 30 s decode is dominated by the scalar core issuing
+        # per-row copy descriptors (~2k scalar DMA ops per invocation,
+        # tiling-independent) — fusing halves exactly that.
+        if quant:
+            (ksl_ref, vsl_ref, ck_ref, ak_ref,
+             out_ref, cko_ref, ako_ref, kso_ref, vso_ref,
+             ksc, ksu, mall, kslall, vslall, kwb, mflag,
+             amx, aden, aacc, aprd, sems, csems, usems) = rest
+        else:
+            (ck_ref, ak_ref, out_ref, cko_ref, ako_ref,
+             ksc, ksu, mall, kwb, mflag,
+             amx, aden, aacc, aprd, sems, csems, usems) = rest
+        cv_ref = av_ref = cvo_ref = avo_ref = vsc = vsu = vwb = None
+    elif quant:
         (ksl_ref, vsl_ref, ck_ref, cv_ref, ak_ref, av_ref,
          out_ref, cko_ref, cvo_ref, ako_ref, avo_ref, kso_ref, vso_ref,
          ksc, vsc, ksu, vsu, mall, kslall, vslall, kwb, vwb, mflag,
@@ -649,6 +668,7 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
          out_ref, cko_ref, cvo_ref, ako_ref, avo_ref,
          ksc, vsc, ksu, vsu, mall, kwb, vwb, mflag,
          amx, aden, aacc, aprd, sems, csems, usems) = rest
+    ucd = 2 * uc if fused else uc  # DMA rows per (logical) page
     i = pl.program_id(0)
     row0 = i * tn
     rows = pl.ds(row0, tn)
@@ -676,96 +696,79 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
 
     def _unif_copies(c, slot):
         src = tbl_ref[row0, c]  # all rows of the tile agree
-        return (
+        cps = [
             pltpu.make_async_copy(
-                ck_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                ck_ref.at[layer, src, pl.ds(c * ucd, ucd), :],
                 ksu.at[slot], usems.at[0, slot],
             ),
-            pltpu.make_async_copy(
+        ]
+        if not fused:
+            cps.append(pltpu.make_async_copy(
                 cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
                 vsu.at[slot], usems.at[1, slot],
-            ),
-        )
+            ))
+        return cps
+
+    def _row_copies(c, slot, r):
+        """Per-row copies for a MIXED completed chunk (one fused descriptor,
+        or a K/V pair in the legacy split layout)."""
+        src = tbl_ref[row0 + r, c]
+        cps = [pltpu.make_async_copy(
+            ck_ref.at[layer, src, pl.ds(c * ucd, ucd), :],
+            ksc.at[slot, r], csems.at[0, slot, r],
+        )]
+        if not fused:
+            cps.append(pltpu.make_async_copy(
+                cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
+                vsc.at[slot, r], csems.at[1, slot, r],
+            ))
+        return cps
+
+    def _act_copies(slot, r):
+        """Per-row copies for the ACTIVE page (beam parent's parity slot)."""
+        src = asrc_ref[row0 + r]
+        cps = [pltpu.make_async_copy(
+            ak_ref.at[layer, src, par_r, :, :],
+            ksc.at[slot, r], csems.at[0, slot, r],
+        )]
+        if not fused:
+            cps.append(pltpu.make_async_copy(
+                av_ref.at[layer, src, par_r, :, :],
+                vsc.at[slot, r], csems.at[1, slot, r],
+            ))
+        return cps
+
+    def _chunk_op(c, start):
+        slot = jax.lax.rem(c, nbuf)
+
+        @pl.when(_is_unif(c))
+        def _():
+            for cp in _unif_copies(c, slot):
+                cp.start() if start else cp.wait()
+
+        @pl.when((c != lastc) & jnp.logical_not(_is_unif(c)))
+        def _():
+            def b(r, _):
+                for cp in _row_copies(c, slot, r):
+                    cp.start() if start else cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, tn, b, 0)
+
+        @pl.when(c == lastc)
+        def _():
+            def b(r, _):
+                for cp in _act_copies(slot, r):
+                    cp.start() if start else cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, tn, b, 0)
 
     def _start_chunk(c):
-        slot = jax.lax.rem(c, nbuf)
-
-        @pl.when(_is_unif(c))
-        def _():
-            for cp in _unif_copies(c, slot):
-                cp.start()
-
-        @pl.when((c != lastc) & jnp.logical_not(_is_unif(c)))
-        def _():
-            def b(r, _):
-                src = tbl_ref[row0 + r, c]
-                pltpu.make_async_copy(
-                    ck_ref.at[layer, src, pl.ds(c * uc, uc), :],
-                    ksc.at[slot, r], csems.at[0, slot, r],
-                ).start()
-                pltpu.make_async_copy(
-                    cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
-                    vsc.at[slot, r], csems.at[1, slot, r],
-                ).start()
-                return 0
-
-            jax.lax.fori_loop(0, tn, b, 0)
-
-        @pl.when(c == lastc)
-        def _():
-            def b(r, _):
-                src = asrc_ref[row0 + r]
-                pltpu.make_async_copy(
-                    ak_ref.at[layer, src, par_r, :, :],
-                    ksc.at[slot, r], csems.at[0, slot, r],
-                ).start()
-                pltpu.make_async_copy(
-                    av_ref.at[layer, src, par_r, :, :],
-                    vsc.at[slot, r], csems.at[1, slot, r],
-                ).start()
-                return 0
-
-            jax.lax.fori_loop(0, tn, b, 0)
+        _chunk_op(c, True)
 
     def _wait_chunk(c):
-        slot = jax.lax.rem(c, nbuf)
-
-        @pl.when(_is_unif(c))
-        def _():
-            for cp in _unif_copies(c, slot):
-                cp.wait()
-
-        @pl.when((c != lastc) & jnp.logical_not(_is_unif(c)))
-        def _():
-            def b(r, _):
-                src = tbl_ref[row0 + r, c]
-                pltpu.make_async_copy(
-                    ck_ref.at[layer, src, pl.ds(c * uc, uc), :],
-                    ksc.at[slot, r], csems.at[0, slot, r],
-                ).wait()
-                pltpu.make_async_copy(
-                    cv_ref.at[layer, src, pl.ds(c * uc, uc), :],
-                    vsc.at[slot, r], csems.at[1, slot, r],
-                ).wait()
-                return 0
-
-            jax.lax.fori_loop(0, tn, b, 0)
-
-        @pl.when(c == lastc)
-        def _():
-            def b(r, _):
-                src = asrc_ref[row0 + r]
-                pltpu.make_async_copy(
-                    ak_ref.at[layer, src, par_r, :, :],
-                    ksc.at[slot, r], csems.at[0, slot, r],
-                ).wait()
-                pltpu.make_async_copy(
-                    av_ref.at[layer, src, par_r, :, :],
-                    vsc.at[slot, r], csems.at[1, slot, r],
-                ).wait()
-                return 0
-
-            jax.lax.fori_loop(0, tn, b, 0)
+        _chunk_op(c, False)
 
     def _flat_copies():
         cp = [pltpu.make_async_copy(mask_ref.at[:, rows, :], mall, sems.at[2, 0])]
@@ -780,10 +783,10 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
 
     completes = o == (uc - 1)
 
-    u_tot = ck_ref.shape[2]  # never statically address past the last page
+    n_pages = ck_ref.shape[2] // ucd  # never statically address past the end
     for cp in _flat_copies():
         cp.start()
-    for b in range(min(nbuf, u_tot // uc)):
+    for b in range(min(nbuf, n_pages)):
         @pl.when(b < nc)
         def _(b=b):
             _start_chunk(b)
@@ -865,19 +868,21 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
         amx[...] = new_mx
         aprd[...] = aprd[...] * alpha
 
-    def _subtile_update(kd, vd, cc, mchunk, track_step):
-        """One ucc-position sub-tile's online-softmax update. ``kd``/``vd``
-        may be (TN, UCC, M) (per-row path) or (1, UCC, M) (uniform page,
-        broadcast across the tile's rows)."""
-        pos3 = (jax.lax.broadcasted_iota(jnp.int32, (tn, ucc, 1), 1)
-                + cc * ucc)
+    def _subtile_update(kd, vd, pos0, mchunk, track_step):
+        """One sub-tile's online-softmax update over positions
+        ``pos0 .. pos0 + X`` (X = kd.shape[1], normally ucc but the ACTIVE
+        page is processed in smaller granules so invalid tails can be
+        skipped at the pl.when level). ``kd``/``vd`` may be (TN, X, M)
+        (per-row path) or (1, X, M) (uniform page, broadcast)."""
+        x = kd.shape[1]
+        pos3 = (jax.lax.broadcasted_iota(jnp.int32, (tn, x, 1), 1) + pos0)
         valid = (pos3 < step) & (mchunk != 0)
         vv = jnp.where(valid, vd, 0.0)
         prod = q[:, None, :] * kd
         scores = jnp.dot(
-            prod.reshape(tn * ucc, m), seg,
+            prod.reshape(tn * x, m), seg,
             preferred_element_type=jnp.float32,
-        ).reshape(tn, ucc, h) * rsqrt
+        ).reshape(tn, x, h) * rsqrt
         scores = jnp.where(valid, scores, NEG_INF)
         mx = amx[...]
         mxc = jnp.max(scores, axis=1)
@@ -886,9 +891,9 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
         e = jnp.exp(scores - new_mx[:, None, :])
         aden[...] = aden[...] * alpha + jnp.sum(e, axis=1)
         wexp = jnp.dot(
-            e.astype(jnp.bfloat16).reshape(tn * ucc, h), seg.T,
+            e.astype(jnp.bfloat16).reshape(tn * x, h), seg.T,
             preferred_element_type=jnp.float32,
-        ).reshape(tn, ucc, m)
+        ).reshape(tn, x, m)
         contrib = jnp.sum(wexp * vv, axis=1)
         alpha_m = jnp.dot(alpha, segf.T, preferred_element_type=jnp.float32)
         aacc[...] = aacc[...] * alpha_m + contrib
@@ -908,7 +913,8 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
             for b in range(nsub):
                 cc = c * nsub + b
                 kst = ksu[slot, b * ucc:(b + 1) * ucc, :]   # (UCC, M)
-                vst = vsu[slot, b * ucc:(b + 1) * ucc, :]
+                vst = (ksu[slot, uc + b * ucc:uc + (b + 1) * ucc, :]
+                       if fused else vsu[slot, b * ucc:(b + 1) * ucc, :])
                 msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
                 ksl_c = vsl_c = None
                 if quant:
@@ -931,65 +937,88 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
                     kd = kst.astype(jnp.bfloat16)[None, :, :]
                     vd = vst.astype(jnp.float32)[None, :, :]
                 # completed pages never contain `step`
-                _subtile_update(kd, vd, cc, mchunk, track_step=False)
+                _subtile_update(kd, vd, cc * ucc, mchunk, track_step=False)
 
-        @pl.when(jnp.logical_not(_is_unif(c)))
+        def _mixed_granule(b, g0, gw, track_step):
+            """Per-row online-softmax update over granule columns
+            [g0, g0+gw) of sub-tile b of chunk c (dequant + update)."""
+            kst = ksc[slot, :, b * ucc + g0:b * ucc + g0 + gw, :]
+            vst = (ksc[slot, :, uc + b * ucc + g0:uc + b * ucc + g0 + gw, :]
+                   if fused else vsc[slot, :, b * ucc + g0:b * ucc + g0 + gw, :])
+            cc = c * nsub + b
+            msub = jax.lax.slice_in_dim(mall[cc, :, :], g0, g0 + gw, axis=1)
+            mchunk = msub[:, :, None]
+            if quant:
+                ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], g0, g0 + gw, axis=1)
+                vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], g0, g0 + gw, axis=1)
+                kd = kst.astype(jnp.bfloat16) * ksl_c[:, :, None].astype(jnp.bfloat16)
+                vd = vst.astype(jnp.float32) * vsl_c[:, :, None]
+            else:
+                kd = kst.astype(jnp.bfloat16)
+                vd = vst.astype(jnp.float32)
+            _subtile_update(kd, vd, cc * ucc + g0, mchunk, track_step=track_step)
+
+        @pl.when(jnp.logical_not(_is_unif(c)) & (c != lastc))
         def _():
+            # completed mixed pages: all positions < step, full sub-tiles
             for b in range(nsub):
-                kst = ksc[slot, :, b * ucc:(b + 1) * ucc, :]
-                vst = vsc[slot, :, b * ucc:(b + 1) * ucc, :]
-                cc = c * nsub + b
-                msub = jax.lax.slice_in_dim(mall[cc, :, :], 0, ucc, axis=1)
-                mchunk = msub[:, :, None]
-                if quant:
-                    ksl_c = jax.lax.slice_in_dim(kslall[cc, :, :], 0, ucc, axis=1)
-                    vsl_c = jax.lax.slice_in_dim(vslall[cc, :, :], 0, ucc, axis=1)
-                    kd = kst.astype(jnp.bfloat16) * ksl_c[:, :, None].astype(jnp.bfloat16)
-                    vd = vst.astype(jnp.float32) * vsl_c[:, :, None]
-                else:
-                    kd = kst.astype(jnp.bfloat16)
-                    vd = vst.astype(jnp.float32)
-                _subtile_update(kd, vd, cc, mchunk, track_step=True)
+                _mixed_granule(b, 0, ucc, track_step=False)
+
+        @pl.when(c == lastc)
+        def _():
+            # ACTIVE page compute: only positions <= step are live (o+1 of
+            # uc), and this per-row VPU path is the kernel's densest
+            # elementwise work — skip whole granules beyond the fresh
+            # token instead of exp-ing masked -inf columns
+            gr = 16 if ucc % 16 == 0 else ucc
+            for b in range(nsub):
+                for g in range(ucc // gr):
+                    @pl.when(c * uc + b * ucc + g * gr <= step)
+                    def _(b=b, g=g):
+                        _mixed_granule(b, g * gr, gr, track_step=True)
 
         # active page: merge fresh k/v at `step`, write back to the
         # opposite parity slot (or the main cache when the page completes)
         @pl.when(c == lastc)
         def _():
-            posc = (jax.lax.broadcasted_iota(jnp.int32, (tn, uc, 1), 1)
-                    + c * uc)
-            at_step = posc == step
-            kchunk = ksc[slot, :, :, :]
-            vchunk = vsc[slot, :, :, :]
-            if quant:
-                kwb[...] = jnp.where(at_step, kq[:, None, :], kchunk)
-                vwb[...] = jnp.where(at_step, vq[:, None, :], vchunk)
-            else:
+            fk = kq if quant else kh_ref[...].astype(kwb.dtype)
+            fv = vq if quant else vh_ref[...].astype(kwb.dtype)
+            if fused:
+                # merged fused page: K half with the fresh key at local
+                # offset o, V half (rows uc..2uc) with the fresh value
+                ii = jax.lax.broadcasted_iota(jnp.int32, (tn, 2 * uc, 1), 1)
                 kwb[...] = jnp.where(
-                    at_step, kh_ref[...][:, None, :].astype(kwb.dtype), kchunk
+                    ii == o, fk[:, None, :],
+                    jnp.where(ii == uc + o, fv[:, None, :], ksc[slot]),
                 )
-                vwb[...] = jnp.where(
-                    at_step, vh_ref[...][:, None, :].astype(vwb.dtype), vchunk
-                )
+            else:
+                posc = (jax.lax.broadcasted_iota(jnp.int32, (tn, uc, 1), 1)
+                        + c * uc)
+                at_step = posc == step
+                kwb[...] = jnp.where(at_step, fk[:, None, :], ksc[slot])
+                vwb[...] = jnp.where(at_step, fv[:, None, :], vsc[slot])
 
             @pl.when(completes)
             def _():
                 pltpu.make_async_copy(
-                    kwb, cko_ref.at[layer, rows, pl.ds(lastc * uc, uc), :],
+                    kwb, cko_ref.at[layer, rows, pl.ds(lastc * ucd, ucd), :],
                     sems.at[4, 0],
                 ).start()
-                pltpu.make_async_copy(
-                    vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :],
-                    sems.at[4, 1],
-                ).start()
+                if not fused:
+                    pltpu.make_async_copy(
+                        vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :],
+                        sems.at[4, 1],
+                    ).start()
 
             @pl.when(jnp.logical_not(completes))
             def _():
                 pltpu.make_async_copy(
                     kwb, ako_ref.at[layer, rows, par_w, :, :], sems.at[4, 0]
                 ).start()
-                pltpu.make_async_copy(
-                    vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
-                ).start()
+                if not fused:
+                    pltpu.make_async_copy(
+                        vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
+                    ).start()
 
         @pl.when(c + nbuf < nc)
         def _():
@@ -1011,20 +1040,22 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
     @pl.when(completes)
     def _():
         pltpu.make_async_copy(
-            kwb, cko_ref.at[layer, rows, pl.ds(lastc * uc, uc), :], sems.at[4, 0]
+            kwb, cko_ref.at[layer, rows, pl.ds(lastc * ucd, ucd), :], sems.at[4, 0]
         ).wait()
-        pltpu.make_async_copy(
-            vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :], sems.at[4, 1]
-        ).wait()
+        if not fused:
+            pltpu.make_async_copy(
+                vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :], sems.at[4, 1]
+            ).wait()
 
     @pl.when(jnp.logical_not(completes))
     def _():
         pltpu.make_async_copy(
             kwb, ako_ref.at[layer, rows, par_w, :, :], sems.at[4, 0]
         ).wait()
-        pltpu.make_async_copy(
-            vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
-        ).wait()
+        if not fused:
+            pltpu.make_async_copy(
+                vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
+            ).wait()
 
 
 _VMEM_BUDGET = 10 * 2**20  # k+v scratch tiles together
@@ -1209,26 +1240,34 @@ def _pick_chunk_paged(n: int, m: int, itemsize: int) -> tuple[int, int, int, int
     (e.g. tn=16/ucc=16 halves the grid-tile count at the same VMEM)."""
     import os
 
-    budget = 9 * 2**20
+    budget = 15 * 2**20
     uc = _PAGE_LONG
     env_tn = int(os.environ.get("SATPU_CHUNK_TN", "0"))
     env_ucc = int(os.environ.get("SATPU_CHUNK_UCC", "0"))
     env_nbuf = int(os.environ.get("SATPU_CHUNK_NBUF", "0"))
     if env_tn and n % env_tn == 0:
         return env_tn, uc, env_ucc or min(uc, 32), env_nbuf or 2
-    ucc = env_ucc or min(uc, 32)
-    for tn in (16, 8):
-        if n % tn:
+    # candidate order is measured, not modeled: the 30 s int8 decode is
+    # dominated by a fixed per-(chunk-loop-iteration) cost, so FEWER,
+    # BIGGER subtiles win — tn16/ucc64/nbuf2 benched 13.77 ms/step vs
+    # 16.22 for the old tn8/ucc32/nbuf3 model pick, with tn16/ucc16 (same
+    # subtile count as tn8/ucc32) at 17.07 confirming the mechanism
+    # (BENCHMARKS.md round 4). The VMEM model below keeps the bigger
+    # tiles honest for wider dtypes: explicit chunk/writeback/uniform
+    # buffers (fused-KV accounting, 2*uc rows per page) plus the ~12
+    # bytes/element of f32/bf16 compute temporaries per (tn, ucc, m).
+    for tn, ucc, nbuf in ((16, min(uc, 64), 2), (16, 32, 2),
+                          (8, min(uc, 64), 2), (8, 32, 3), (8, 32, 2)):
+        if n % tn or ucc > uc or uc % ucc:
             continue
-        for nbuf in (3, 2):
-            need = (
-                tn * uc * m * itemsize * (2 * nbuf + 2)
-                + 2 * nbuf * uc * m * itemsize  # shared uniform-page buffers
-                + tn * ucc * m * 16
-            )
-            if need <= budget:
-                return tn, uc, ucc, nbuf
-    return (8 if n % 8 == 0 else n), uc, ucc, 2
+        need = (
+            (nbuf + 1) * tn * 2 * uc * m * itemsize
+            + nbuf * 2 * uc * m * itemsize  # shared uniform-page buffers
+            + tn * ucc * m * 12
+        )
+        if need <= budget:
+            return tn, uc, ucc, nbuf
+    return (8 if n % 8 == 0 else n), uc, min(uc, 32), 2
 
 
 @functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
@@ -1409,6 +1448,152 @@ def cached_attention_step_paged(
     return _attn_step_paged_call(
         q.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
         mask.astype(jnp.int8), cache_k, cache_v, act_k, act_v,
+        table.astype(jnp.int32), act_src.astype(jnp.int32), step, seg,
+        layer=layer, d_head=m // nhead, interpret=interpret,
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "d_head", "interpret"))
+def _attn_step_paged_fused_call(q, kh, vh, mask, cache_kv, act_kv,
+                                table, act_src, step, seg, layer, d_head,
+                                interpret=False, k_scale=None, v_scale=None):
+    """Wiring for the FUSED-KV chunked paged kernel (long caches only).
+
+    ``cache_kv (L, N, 2U, M)`` stores each logical page as 2*page
+    consecutive positions [K-page, V-page]; ``act_kv (L, N, 2, 2*page, M)``
+    are the fused parity slots. Every per-(row, page) transfer is one
+    descriptor — the scalar-core DMA-issue loop that dominates the traced
+    30 s decode halves (BENCHMARKS.md round 4)."""
+    n, m = q.shape
+    u = cache_kv.shape[2] // 2
+    page = u // table.shape[1]
+    assert page == _PAGE_LONG, (page, u)
+    assert act_kv.shape[3] == 2 * page, (act_kv.shape, page)
+    quant = cache_kv.dtype == jnp.int8
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    tn, uc, ucc, nbuf = _pick_chunk_paged(n, m, cache_kv.dtype.itemsize)
+    row_spec = pl.BlockSpec((tn, m), lambda i, *_: (i, 0))
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [
+        row_spec, row_spec, row_spec, hbm_spec,
+        pl.BlockSpec((m, m // d_head), lambda i, *_: (0, 0)),
+    ]
+    out_specs = [row_spec, any_spec, any_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, m), jnp.float32),
+        jax.ShapeDtypeStruct(cache_kv.shape, cache_kv.dtype),
+        jax.ShapeDtypeStruct(act_kv.shape, act_kv.dtype),
+    ]
+
+    def _prechunk(a, dtype):
+        # (N, U) -> (U/ucc, N, max(ucc, 128)); see _attn_step_call
+        a = a.astype(dtype).reshape(n, u // ucc, ucc)
+        if ucc < 128:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, 128 - ucc)))
+        return a.transpose(1, 0, 2)
+
+    mask = _prechunk(mask, jnp.int32)
+    nt = n // tn
+    tblr = table.reshape(nt, tn, table.shape[1])
+    unif = jnp.all(tblr == tblr[:, :1, :], axis=1).astype(jnp.int32)
+    operands = [step, table, act_src, unif, q, kh, vh, mask, seg]
+    nsp = 4
+    if quant:
+        in_specs += [hbm_spec, hbm_spec]
+        operands += [_prechunk(k_scale, jnp.float32),
+                     _prechunk(v_scale, jnp.float32)]
+        sc_spec = pl.BlockSpec((tn, 128), lambda i, *_: (i, 0))
+        out_specs += [sc_spec, sc_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        ]
+        aliases = {nsp + 7: 1, nsp + 8: 2}
+    else:
+        aliases = {nsp + 5: 1, nsp + 6: 2}
+    in_specs += [any_spec, any_spec]
+    operands += [cache_kv, act_kv]
+    ml = max(ucc, 128)
+    nsub_tot = u // ucc
+    h = m // d_head
+    scratch = [
+        pltpu.VMEM((nbuf, tn, 2 * uc, m), cache_kv.dtype),  # fused chunk rows
+        pltpu.VMEM((nbuf, 2 * uc, m), cache_kv.dtype),      # shared uniform pages
+        pltpu.VMEM((nsub_tot, tn, ml), jnp.int32),
+    ]
+    if quant:
+        scratch += [
+            pltpu.VMEM((nsub_tot, tn, ml), jnp.float32),
+            pltpu.VMEM((nsub_tot, tn, ml), jnp.float32),
+        ]
+    scratch += [
+        pltpu.VMEM((tn, 2 * uc, m), cache_kv.dtype),        # fused writeback
+        pltpu.VMEM((tn, 1), jnp.int32),
+        pltpu.VMEM((tn, h), jnp.float32),   # online-softmax accumulators
+        pltpu.VMEM((tn, h), jnp.float32),
+        pltpu.VMEM((tn, m), jnp.float32),
+        pltpu.VMEM((tn, h), jnp.float32),
+        pltpu.SemaphoreType.DMA((5, max(nbuf, 2))),
+        pltpu.SemaphoreType.DMA((1, nbuf, tn)),
+        pltpu.SemaphoreType.DMA((1, nbuf)),
+    ]
+    kernel = functools.partial(
+        _kernel_chunked_paged, layer=layer, tn=tn, uc=uc, ucc=ucc,
+        nbuf=nbuf, d_head=d_head, quant=quant, fused=True,
+        unif_mxu=os.environ.get("SATPU_UNIF_MXU", "1") != "0",
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(n // tn,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * u * m,
+            bytes_accessed=2 * n * u * m * cache_kv.dtype.itemsize,
+            transcendentals=n * u * (m // d_head),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def cached_attention_step_paged_fused(
+    q: jax.Array,
+    kh: jax.Array,
+    vh: jax.Array,
+    mask: jax.Array,
+    cache_kv: jax.Array,
+    act_kv: jax.Array,
+    table: jax.Array,
+    act_src: jax.Array,
+    step,
+    layer: int,
+    nhead: int,
+    seg: jax.Array | None = None,
+    interpret: bool = False,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Paged cached attention over a FUSED-KV long cache (page fusion of
+    :func:`cached_attention_step_paged`): ``cache_kv (L, N, 2U, M)`` packs
+    K and V page-interleaved, ``act_kv (L, N, 2, 2*_PAGE_LONG, M)`` packs
+    the parity slots. Returns ``(out, new_kv, new_akv[, kso, vso])`` with
+    the cache outputs aliasing their operands. make_kv_cache emits this
+    layout for chunked-regime caches (SATPU_FUSED_KV=0 restores split)."""
+    n, m = q.shape
+    if seg is None:
+        seg = head_segments(m, nhead)
+    step = jnp.asarray(step, jnp.int32).reshape((1,))
+    return _attn_step_paged_fused_call(
+        q.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+        mask.astype(jnp.int8), cache_kv, act_kv,
         table.astype(jnp.int32), act_src.astype(jnp.int32), step, seg,
         layer=layer, d_head=m // nhead, interpret=interpret,
         k_scale=k_scale, v_scale=v_scale,

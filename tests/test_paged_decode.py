@@ -32,6 +32,7 @@ from speech_anonymization_tpu.models.transformer import (
 from speech_anonymization_tpu.ops.pallas.attention_step import (
     _PAGE,
     cached_attention_step_paged,
+    cached_attention_step_paged_fused,
 )
 
 KEY = jax.random.PRNGKey(0)
@@ -63,13 +64,31 @@ def _random_parent(rng, b, k):
     return jnp.asarray(rng.integers(0, k, size=(b, k)), jnp.int32)
 
 
-@pytest.mark.parametrize("dtype,long", [
-    (jnp.bfloat16, False), (jnp.int8, False),
-    (jnp.bfloat16, True), (jnp.int8, True),
-    (jnp.bfloat16, "deep"), (jnp.int8, "deep"),
-    (jnp.bfloat16, "deep_unif"), (jnp.int8, "deep_unif"),
+def _kv_views(pc, page):
+    """(k_main, v_main, k_act, v_act) numpy views of either cache layout
+    (fused long caches store pages as [K-page, V-page])."""
+    if "kv" in pc:
+        L, N, U2, M = pc["kv"].shape
+        U = U2 // 2
+        up = U // page
+        kvb = np.asarray(pc["kv"]).reshape(L, N, up, 2, page, M)
+        akv = np.asarray(pc["kv_act"])
+        return (kvb[:, :, :, 0].reshape(L, N, U, M),
+                kvb[:, :, :, 1].reshape(L, N, U, M),
+                akv[:, :, :, :page], akv[:, :, :, page:])
+    return (np.asarray(pc["k"]), np.asarray(pc["v"]),
+            np.asarray(pc["k_act"]), np.asarray(pc["v_act"]))
+
+
+@pytest.mark.parametrize("dtype,long,fused", [
+    (jnp.bfloat16, False, False), (jnp.int8, False, False),
+    (jnp.bfloat16, True, True), (jnp.int8, True, True),
+    # legacy split layout of the chunked kernel (SATPU_FUSED_KV=0)
+    (jnp.bfloat16, True, False), (jnp.int8, True, False),
+    (jnp.bfloat16, "deep", True), (jnp.int8, "deep", True),
+    (jnp.bfloat16, "deep_unif", True), (jnp.int8, "deep_unif", True),
 ])
-def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
+def test_paged_kernel_protocol_interpret(dtype, long, fused, monkeypatch):
     """Drive the paged kernel through 2 pages + 6 decode steps with a
     random beam reorder after every step, crossing a page-completion
     boundary, and compare every attention output (and the final
@@ -122,9 +141,16 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     quant = dtype == jnp.int8
     uniform_pages_seen = 0
 
+    monkeypatch.setenv("SATPU_FUSED_KV", "1" if fused else "0")
     pc = make_kv_cache(N, U, L, H, M // H, dtype=dtype, paged=True)
-    assert pc["k"].shape == (L, N, U, M) and "table" in pc
-    assert pc["k_act"].shape[3] == page
+    is_fused = "kv" in pc
+    assert is_fused == (bool(long) and fused) and "table" in pc
+    if is_fused:
+        assert pc["kv"].shape == (L, N, 2 * U, M)
+        assert pc["kv_act"].shape[3] == 2 * page
+    else:
+        assert pc["k"].shape == (L, N, U, M)
+        assert pc["k_act"].shape[3] == page
     mask = jnp.ones((N, U), jnp.int8)
 
     # ground truth: physically-reordered DEQUANTIZED content + raw scales
@@ -148,16 +174,29 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
                 {"k_scale": pc["k_scale"][l], "v_scale": pc["v_scale"][l]}
                 if quant else {}
             )
-            res = cached_attention_step_paged(
-                q, kh, vh, mask, pc["k"], pc["v"], pc["k_act"], pc["v_act"],
-                pc["table"], pc["act_src"], t, l, H, interpret=True, **scales,
-            )
+            if is_fused:
+                res = cached_attention_step_paged_fused(
+                    q, kh, vh, mask, pc["kv"], pc["kv_act"],
+                    pc["table"], pc["act_src"], t, l, H, interpret=True,
+                    **scales,
+                )
+                if quant:
+                    out, pc["kv"], pc["kv_act"], kso, vso = res
+                else:
+                    out, pc["kv"], pc["kv_act"] = res
+            else:
+                res = cached_attention_step_paged(
+                    q, kh, vh, mask, pc["k"], pc["v"], pc["k_act"], pc["v_act"],
+                    pc["table"], pc["act_src"], t, l, H, interpret=True,
+                    **scales,
+                )
+                if quant:
+                    out, pc["k"], pc["v"], pc["k_act"], pc["v_act"], kso, vso = res
+                else:
+                    out, pc["k"], pc["v"], pc["k_act"], pc["v_act"] = res
             if quant:
-                out, pc["k"], pc["v"], pc["k_act"], pc["v_act"], kso, vso = res
                 pc["k_scale"] = pc["k_scale"].at[l, :, t].set(kso[:, 0])
                 pc["v_scale"] = pc["v_scale"].at[l, :, t].set(vso[:, 0])
-            else:
-                out, pc["k"], pc["v"], pc["k_act"], pc["v_act"] = res
 
             want = _ref_attend(
                 q, kh, vh, jnp.asarray(k_true[l]), jnp.asarray(v_true[l]), t, H
@@ -206,22 +245,25 @@ def test_paged_kernel_protocol_interpret(dtype, long, monkeypatch):
     tbl = np.asarray(pc["table"])
     asrc = np.asarray(pc["act_src"])
     par = last % 2  # the slot the kernel wrote at the last step
-    for arr, true in ((pc["k"], k_true), (pc["v"], v_true)):
-        main = np.asarray(arr, np.float32) if not quant else np.asarray(arr)
+    k_main, v_main, k_act, v_act = _kv_views(pc, page)
+    for is_k, main, act, true in (
+        (True, k_main, k_act, k_true), (False, v_main, v_act, v_true)
+    ):
+        if not quant:
+            main = main.astype(np.float32)
         got = np.zeros((L, N, last + 1, M), np.float32)
         for n in range(N):
             for p in range(p_act):
                 got[:, n, p * page : (p + 1) * page] = main[
                     :, tbl[n, p], p * page : (p + 1) * page
                 ]
-        act = np.asarray(pc["k_act"] if arr is pc["k"] else pc["v_act"])
         for n in range(N):
             got[:, n, p_act * page : last + 1] = act[:, asrc[n], par, : o + 1]
         if quant:
             sc = np.asarray(
-                pc["k_scale"] if arr is pc["k"] else pc["v_scale"], np.float32
+                pc["k_scale"] if is_k else pc["v_scale"], np.float32
             )
-            if arr is pc["k"]:  # kernel dequantizes k in bf16
+            if is_k:  # kernel dequantizes k in bf16
                 got = np.asarray(
                     got.astype(jnp.bfloat16)
                     * sc[:, :, : last + 1, None].astype(jnp.bfloat16),
