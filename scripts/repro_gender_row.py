@@ -138,9 +138,13 @@ def ensure_stages(work):
 
 
 def run_stage2(work, out_name, schedule, model_type="fcae", epochs=40,
-               seed=0, grl_scale=None, lr_adam=0.55, n_warmup_steps=100):
+               seed=0, grl_scale=None, lr_adam=0.55, n_warmup_steps=100,
+               eval_only=False, extra_args=()):
     """One adversarial anonymizer run against the cached stage-1 evaluator
-    and stage-1.5 ASR. Returns the test-stats triple as a plain dict."""
+    and stage-1.5 ASR. Returns the test-stats triple as a plain dict.
+    ``eval_only`` re-evaluates an existing run dir (checkpoint recovery);
+    ``extra_args`` pass through to the recipe CLI (e.g. checkpoint
+    selection overrides)."""
     from speech_anonymization_tpu.recipes import anonymizer
 
     root = os.path.join(work, "corpus")
@@ -148,7 +152,9 @@ def run_stage2(work, out_name, schedule, model_type="fcae", epochs=40,
     aout = os.path.join(work, "asr")
     test_csv = os.path.join(root, "test-clean.csv")
     nout = os.path.join(work, out_name)
-    extra = []
+    extra = list(extra_args)
+    if eval_only:
+        extra += ["--eval_only"]
     if grl_scale is not None:
         extra += ["--grl_scale", str(grl_scale)]
     # scale-matched optimizer: the reference's Noam(warmup 25000) never
@@ -183,6 +189,11 @@ def run_stage2(work, out_name, schedule, model_type="fcae", epochs=40,
         "wer_anon": float(s["WER"]),
         "wer_orig": float(s.get("WER_orig", float("nan"))),
     }
+    sel = getattr(nb, "selected_ckpt_meta", None)
+    if sel is not None:  # eval_ckpt_select=valid_frontier bookkeeping
+        out["selected_epoch"] = int(sel.get("epoch", -1))
+        out["selected_valid_acc_ext"] = float(sel.get("ACC_external", float("nan")))
+        out["selected_valid_utility"] = float(sel.get("Utility_Retention", float("nan")))
     print(f"[stage 2 {out_name}] ACC_external orig={out['acc_ext_orig']:.3f} "
           f"anon={out['acc_ext_anon']:.3f} internal={out['acc_internal']:.3f} "
           f"utility={out['utility']:.3f} "

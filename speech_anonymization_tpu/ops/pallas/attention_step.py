@@ -401,7 +401,10 @@ def _kernel_chunked(step_ref, q_ref, kh_ref, vh_ref, mask_ref, seg_ref,
 
 
 _PAGE = 32       # page size for SHORT (whole-row-kernel) paged caches
-_PAGE_LONG = 64  # page size for LONG (chunked-kernel) paged caches = DMA grain
+# page size for LONG (chunked-kernel) paged caches = DMA grain. Env knob
+# for on-chip A/B: smaller pages shrink the active page's R/W traffic and
+# per-row VPU work but double the chunk-loop iteration count.
+_PAGE_LONG = int(os.environ.get("SATPU_PAGE_LONG", "64"))
 _PDEPTH = 16     # in-flight per-(row, page) DMAs in the paged kernel
 
 
@@ -724,19 +727,40 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
             ))
         return cps
 
-    def _act_copies(slot, r):
-        """Per-row copies for the ACTIVE page (beam parent's parity slot)."""
+    # active-page DMA granule: positions beyond the fresh token are junk
+    # (masked in compute, rewritten before becoming live), so granules
+    # past `o` are never transferred — on average ~25% of the active
+    # page's R/W bytes at grd=32 (kept at 32: int8 HBM tiling is
+    # (32, 128), so 32-row slices stay tile-aligned)
+    grd = 32 if uc % 32 == 0 else uc
+
+    def _act_op(slot, r, start):
+        """Per-row granule copies for the ACTIVE page (beam parent's
+        parity slot); start/wait branch on the same deterministic
+        position predicate, so they always pair up."""
         src = asrc_ref[row0 + r]
-        cps = [pltpu.make_async_copy(
-            ak_ref.at[layer, src, par_r, :, :],
-            ksc.at[slot, r], csems.at[0, slot, r],
-        )]
-        if not fused:
-            cps.append(pltpu.make_async_copy(
-                av_ref.at[layer, src, par_r, :, :],
-                vsc.at[slot, r], csems.at[1, slot, r],
-            ))
-        return cps
+        for g in range(uc // grd):
+            lo = g * grd
+
+            @pl.when(lastc * uc + lo <= step)
+            def _(lo=lo):
+                cps = [pltpu.make_async_copy(
+                    ak_ref.at[layer, src, par_r, pl.ds(lo, grd), :],
+                    ksc.at[slot, r, pl.ds(lo, grd), :], csems.at[0, slot, r],
+                )]
+                if fused:
+                    cps.append(pltpu.make_async_copy(
+                        ak_ref.at[layer, src, par_r, pl.ds(uc + lo, grd), :],
+                        ksc.at[slot, r, pl.ds(uc + lo, grd), :],
+                        csems.at[0, slot, r],
+                    ))
+                else:
+                    cps.append(pltpu.make_async_copy(
+                        av_ref.at[layer, src, par_r, pl.ds(lo, grd), :],
+                        vsc.at[slot, r, pl.ds(lo, grd), :], csems.at[1, slot, r],
+                    ))
+                for cp in cps:
+                    cp.start() if start else cp.wait()
 
     def _chunk_op(c, start):
         slot = jax.lax.rem(c, nbuf)
@@ -758,8 +782,7 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
         @pl.when(c == lastc)
         def _():
             def b(r, _):
-                for cp in _act_copies(slot, r):
-                    cp.start() if start else cp.wait()
+                _act_op(slot, r, start)
                 return 0
 
             jax.lax.fori_loop(0, tn, b, 0)
@@ -904,6 +927,63 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
                 jnp.where(pos3 == step, mchunk, 0), axis=1
             )
 
+    def _wb_op(start):
+        """Granule writeback of the merged active page: granules past the
+        fresh token hold junk that is never read before being rewritten,
+        so they are skipped (same predicate as the read side). On page
+        completion every predicate is true, so the FULL page lands in the
+        main cache."""
+        for g in range(uc // grd):
+            lo = g * grd
+
+            @pl.when(lastc * uc + lo <= step)
+            def _(lo=lo):
+                @pl.when(completes)
+                def _():
+                    cps = [pltpu.make_async_copy(
+                        kwb.at[:, pl.ds(lo, grd), :],
+                        cko_ref.at[layer, rows, pl.ds(lastc * ucd + lo, grd), :],
+                        sems.at[4, 0],
+                    )]
+                    if fused:
+                        cps.append(pltpu.make_async_copy(
+                            kwb.at[:, pl.ds(uc + lo, grd), :],
+                            cko_ref.at[
+                                layer, rows, pl.ds(lastc * ucd + uc + lo, grd), :
+                            ],
+                            sems.at[4, 0],
+                        ))
+                    else:
+                        cps.append(pltpu.make_async_copy(
+                            vwb.at[:, pl.ds(lo, grd), :],
+                            cvo_ref.at[layer, rows, pl.ds(lastc * uc + lo, grd), :],
+                            sems.at[4, 1],
+                        ))
+                    for cp in cps:
+                        cp.start() if start else cp.wait()
+
+                @pl.when(jnp.logical_not(completes))
+                def _():
+                    cps = [pltpu.make_async_copy(
+                        kwb.at[:, pl.ds(lo, grd), :],
+                        ako_ref.at[layer, rows, par_w, pl.ds(lo, grd), :],
+                        sems.at[4, 0],
+                    )]
+                    if fused:
+                        cps.append(pltpu.make_async_copy(
+                            kwb.at[:, pl.ds(uc + lo, grd), :],
+                            ako_ref.at[layer, rows, par_w, pl.ds(uc + lo, grd), :],
+                            sems.at[4, 0],
+                        ))
+                    else:
+                        cps.append(pltpu.make_async_copy(
+                            vwb.at[:, pl.ds(lo, grd), :],
+                            avo_ref.at[layer, rows, par_w, pl.ds(lo, grd), :],
+                            sems.at[4, 1],
+                        ))
+                    for cp in cps:
+                        cp.start() if start else cp.wait()
+
     def body(c, carry):
         _wait_chunk(c)
         slot = jax.lax.rem(c, nbuf)
@@ -998,27 +1078,7 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
                 kwb[...] = jnp.where(at_step, fk[:, None, :], ksc[slot])
                 vwb[...] = jnp.where(at_step, fv[:, None, :], vsc[slot])
 
-            @pl.when(completes)
-            def _():
-                pltpu.make_async_copy(
-                    kwb, cko_ref.at[layer, rows, pl.ds(lastc * ucd, ucd), :],
-                    sems.at[4, 0],
-                ).start()
-                if not fused:
-                    pltpu.make_async_copy(
-                        vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :],
-                        sems.at[4, 1],
-                    ).start()
-
-            @pl.when(jnp.logical_not(completes))
-            def _():
-                pltpu.make_async_copy(
-                    kwb, ako_ref.at[layer, rows, par_w, :, :], sems.at[4, 0]
-                ).start()
-                if not fused:
-                    pltpu.make_async_copy(
-                        vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
-                    ).start()
+            _wb_op(start=True)
 
         @pl.when(c + nbuf < nc)
         def _():
@@ -1037,25 +1097,7 @@ def _kernel_chunked_paged(step_ref, tbl_ref, asrc_ref, unif_ref, q_ref,
     )
     out_ref[...] = (acc / den_m).astype(out_ref.dtype)
 
-    @pl.when(completes)
-    def _():
-        pltpu.make_async_copy(
-            kwb, cko_ref.at[layer, rows, pl.ds(lastc * ucd, ucd), :], sems.at[4, 0]
-        ).wait()
-        if not fused:
-            pltpu.make_async_copy(
-                vwb, cvo_ref.at[layer, rows, pl.ds(lastc * uc, uc), :], sems.at[4, 1]
-            ).wait()
-
-    @pl.when(jnp.logical_not(completes))
-    def _():
-        pltpu.make_async_copy(
-            kwb, ako_ref.at[layer, rows, par_w, :, :], sems.at[4, 0]
-        ).wait()
-        if not fused:
-            pltpu.make_async_copy(
-                vwb, avo_ref.at[layer, rows, par_w, :, :], sems.at[4, 1]
-            ).wait()
+    _wb_op(start=False)
 
 
 _VMEM_BUDGET = 10 * 2**20  # k+v scratch tiles together
@@ -1240,7 +1282,7 @@ def _pick_chunk_paged(n: int, m: int, itemsize: int) -> tuple[int, int, int, int
     (e.g. tn=16/ucc=16 halves the grid-tile count at the same VMEM)."""
     import os
 
-    budget = 15 * 2**20
+    budget = 14 * 2**20
     uc = _PAGE_LONG
     env_tn = int(os.environ.get("SATPU_CHUNK_TN", "0"))
     env_ucc = int(os.environ.get("SATPU_CHUNK_UCC", "0"))
@@ -1248,22 +1290,23 @@ def _pick_chunk_paged(n: int, m: int, itemsize: int) -> tuple[int, int, int, int
     if env_tn and n % env_tn == 0:
         return env_tn, uc, env_ucc or min(uc, 32), env_nbuf or 2
     # candidate order is measured, not modeled: the 30 s int8 decode is
-    # dominated by a fixed per-(chunk-loop-iteration) cost, so FEWER,
-    # BIGGER subtiles win — tn16/ucc64/nbuf2 benched 13.77 ms/step vs
-    # 16.22 for the old tn8/ucc32/nbuf3 model pick, with tn16/ucc16 (same
-    # subtile count as tn8/ucc32) at 17.07 confirming the mechanism
-    # (BENCHMARKS.md round 4). The VMEM model below keeps the bigger
-    # tiles honest for wider dtypes: explicit chunk/writeback/uniform
-    # buffers (fused-KV accounting, 2*uc rows per page) plus the ~12
-    # bytes/element of f32/bf16 compute temporaries per (tn, ucc, m).
-    for tn, ucc, nbuf in ((16, min(uc, 64), 2), (16, 32, 2),
-                          (8, min(uc, 64), 2), (8, 32, 3), (8, 32, 2)):
+    # dominated by a fixed per-(grid-tile, chunk-iteration) cost, so
+    # FEWER, BIGGER tiles win — the measured ladder is 8/32/3 16.22
+    # ms/step, 16/32/2 14.90, 16/64/2 13.31, 24/64/2 12.85, and 48/64/2
+    # VMEM-OOMs at exactly the explicit-scratch sum (19.01M vs the 16M
+    # scoped-vmem limit), which validates the model below: the scoped
+    # stack holds the chunk double-buffers + shared uniform pages + the
+    # writeback buffer (fused-KV accounting, 2*uc rows per page); compute
+    # temporaries are not scoped-stack. 14M budget leaves ~2M for the
+    # mask/scale/accumulator scratch (BENCHMARKS.md round 4).
+    for tn, ucc, nbuf in ((24, min(uc, 64), 2), (16, min(uc, 64), 2),
+                          (16, 32, 2), (8, min(uc, 64), 2),
+                          (8, 32, 3), (8, 32, 2)):
         if n % tn or ucc > uc or uc % ucc:
             continue
         need = (
             (nbuf + 1) * tn * 2 * uc * m * itemsize
             + nbuf * 2 * uc * m * itemsize  # shared uniform-page buffers
-            + tn * ucc * m * 12
         )
         if need <= budget:
             return tn, uc, ucc, nbuf

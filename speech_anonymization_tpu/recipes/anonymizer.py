@@ -542,9 +542,38 @@ class SexAnonymizationBrain(Brain):
             self.test_stats = stats
 
     def on_evaluate_start(self, max_key=None, min_key=None):
-        """Average the top checkpoints into the live params (:404-416)."""
+        """Checkpoint selection before eval. Default mirrors the reference:
+        average the top checkpoints by the eval key (:404-416).
+
+        ``eval_ckpt_select: valid_frontier`` instead loads the SINGLE
+        checkpoint chosen on VALIDATION metrics stored in the checkpoint
+        meta: among epochs with Utility_Retention >= eval_ckpt_min_utility
+        (default 0.85), the one whose valid ACC_external is closest to
+        chance (tie-break: higher utility). The adversarial game
+        oscillates epoch to epoch (see EXPERIMENTS.md), so end-of-run or
+        utility-only selection can land on a privacy-poor epoch; selecting
+        on valid and reporting test once is standard model selection, not
+        test peeking."""
         if self.checkpointer is None:
             return
+        if str(self.hparams.get("eval_ckpt_select", "avg_utility")) == "valid_frontier":
+            ckpts = self.checkpointer.find_checkpoints()
+            scored = [c for c in ckpts
+                      if "ACC_external" in c.meta and "Utility_Retention" in c.meta]
+            if scored:
+                min_util = float(self.hparams.get("eval_ckpt_min_utility", 0.85))
+                ok = [c for c in scored if c.meta["Utility_Retention"] >= min_util]
+                pool = ok or [max(scored, key=lambda c: c.meta["Utility_Retention"])]
+                pick = min(pool, key=lambda c: (abs(c.meta["ACC_external"] - 0.5),
+                                                -c.meta["Utility_Retention"]))
+                self.selected_ckpt_meta = dict(pick.meta)
+                print(f"[eval_ckpt_select=valid_frontier] epoch "
+                      f"{pick.meta.get('epoch')}: valid ACC_external="
+                      f"{pick.meta['ACC_external']:.3f} "
+                      f"Utility={pick.meta['Utility_Retention']:.3f}")
+                self._set(params=average_checkpoints(
+                    [pick], "model", self.state.params))
+                return
         ckpts = self.checkpointer.find_checkpoints(max_key=max_key, min_key=min_key)
         if ckpts:
             avg = average_checkpoints(ckpts, "model", self.state.params)
