@@ -20,6 +20,16 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.path.join(REPO, "save", "repro_gender_row")
+# save/ is untracked and does not survive a VM reset; scripts/archive_repro.py
+# copies the four result files to this TRACKED directory so the rendered
+# tables stay reproducible from the repo alone. Rendering prefers the live
+# save/ copies when present.
+ARCHIVE = os.path.join(REPO, "artifacts", "repro")
+
+
+def _resolve(*rel):
+    live = os.path.join(WORK, *rel)
+    return live if os.path.exists(live) else os.path.join(ARCHIVE, *rel)
 
 
 def _load_jsonl(path):
@@ -43,12 +53,12 @@ def _spread(vals):
 
 
 def main():
-    with open(os.path.join(WORK, "gender", "repro_stats.json")) as f:
+    with open(_resolve("gender", "repro_stats.json")) as f:
         acc_orig = json.load(f)["acc_orig"]
-    with open(os.path.join(WORK, "asr", "repro_stats.json")) as f:
+    with open(_resolve("asr", "repro_stats.json")) as f:
         wer_asr = json.load(f)["wer"]
-    rows = _load_jsonl(os.path.join(WORK, "sweep_results.jsonl"))
-    ab = {r["method"]: r for r in _load_jsonl(os.path.join(WORK, "vocoder_ab.jsonl"))}
+    rows = _load_jsonl(_resolve("sweep_results.jsonl"))
+    ab = {r["method"]: r for r in _load_jsonl(_resolve("vocoder_ab.jsonl"))}
     if not rows:
         sys.exit("no sweep results recorded — run scripts/round4_sweep.py first")
 
@@ -166,7 +176,7 @@ def main():
             f"{_fmt(r['acc_internal'])} | {_fmt(r['wer_orig'],1)}% | "
             f"{_fmt(r['wer_anon'],1)}% | {_fmt(r['utility'])} |")
 
-    attacks = _load_jsonl(os.path.join(WORK, "attack_results.jsonl"))
+    attacks = _load_jsonl(_resolve("attack_results.jsonl"))
     if attacks:
         lines.append("\n## Attack after anonymization (scripts/attack_retrain.py)\n")
         lines.append(
