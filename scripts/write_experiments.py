@@ -167,6 +167,17 @@ def main():
         "family); others = fcae with the internal GRL adversary. `conf`/`mix`\n"
         "use NEGATIVE confusion weights (through a GRL, -w is what 'drive the\n"
         "head to uniform' requires — the round-3 sweep had the sign inverted).\n")
+    if not any(r["model_type"] == "endtoend" for r in rows):
+        lines.append(
+            "NOTE: no `e2e*` (endtoend) rows are recorded below. That family —\n"
+            "the reference's BEST mechanism (train the generator directly\n"
+            "against the frozen external classifier) — costs ~6.5 min/epoch on\n"
+            "this 1-core box and its half-finished round-4 run was lost to a VM\n"
+            "reset before any test-set row landed (ROUND4_NOTES.md logs the\n"
+            "partial validation signal: ACC_ext falling to ~0.50 with utility\n"
+            "recovering under the bounded `e2e_conf` objective). Completing it\n"
+            "is the top round-5 item; until then the reference's external-\n"
+            "evaluator result is NOT reproduced by any recorded row.\n")
     lines.append("| variant | model | seed | ACC_ext orig | ACC_ext anon | internal | WER orig | WER anon | utility |")
     lines.append("|---|---|---|---|---|---|---|---|---|")
     for r in sorted(rows, key=lambda r: (r["variant"], r["seed"])):
