@@ -25,7 +25,10 @@ FILES = [
 ]
 
 
-def main():
+def archive():
+    """Copy every present result file to artifacts/repro. Called by the
+    sweep/attack/vocoder harnesses after EVERY row append (VERDICT r4 #6:
+    a kill/reset must never again orphan results in save/)."""
     copied = []
     for rel in FILES:
         src = os.path.join(WORK, *rel)
@@ -35,6 +38,11 @@ def main():
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copy2(src, dst)
         copied.append(os.path.relpath(dst, REPO))
+    return copied
+
+
+def main():
+    copied = archive()
     if copied:
         print("archived:\n  " + "\n  ".join(copied))
     else:

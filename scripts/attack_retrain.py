@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
+import archive_repro  # noqa: E402
 import repro_gender_row as repro  # noqa: E402
 
 
@@ -61,6 +62,7 @@ def main():
     }
     with open(os.path.join(work, "attack_results.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")
+    archive_repro.archive()  # durable copy after EVERY row
     print(f"[attack {variant} s{seed}] retrained-attacker ACC on anonymized "
           f"features = {row['attack_acc']:.3f}")
 

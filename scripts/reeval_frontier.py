@@ -6,6 +6,12 @@ epoch whose VALID ACC_external is closest to chance subject to a utility
 floor, and this script records the resulting TEST row as a new variant
 ``<name>_frontier`` in sweep_results.jsonl.
 
+Caveat (retention bias): the pool is only the ~5+5 checkpoints kept by
+save_and_keep_only(max=[Utility_Retention], min=[ACC_external, ACC_dist])
+— runs trained before the ACC_dist keep-key landed may have already
+pruned the epochs closest to chance. The recorded row carries
+``selected_pool_n``/``selected_kept_n`` so the pool size is visible.
+
   python scripts/reeval_frontier.py conf [seed]
 """
 import json
@@ -36,6 +42,9 @@ def main():
             r = json.loads(line)
             if r["variant"] == variant and r["seed"] == seed:
                 base = r
+            if r["variant"] == f"{variant}_frontier" and r["seed"] == seed:
+                sys.exit(f"[skip] {variant}_frontier seed={seed} already "
+                         "recorded — delete the row to re-run")
     assert base is not None, f"no recorded run for {variant} seed={seed}"
     t0 = time.time()
     out = repro.run_stage2(
@@ -46,12 +55,22 @@ def main():
         eval_only=True,
         extra_args=["--eval_ckpt_select", "valid_frontier"],
     )
+    # on_evaluate_start silently falls back to top-k averaging when no
+    # kept checkpoint carries the frontier meta — recording that as a
+    # "_frontier" row would mislabel an ordinary eval (ADVICE r4)
+    if "selected_epoch" not in out:
+        sys.exit(f"ABORT: the frontier branch did not run for {variant} "
+                 f"seed={seed} (no kept checkpoint has ACC_external/"
+                 "Utility_Retention meta) — nothing recorded")
     row = dict(base)
     row.update(out)
     row["variant"] = f"{variant}_frontier"
     row["wall_s"] = round(time.time() - t0, 1)
     with open(results_path, "a") as f:
         f.write(json.dumps(row) + "\n")
+    import archive_repro
+
+    archive_repro.archive()  # durable copy after EVERY row
     print(f"[recorded] {row['variant']} seed={seed} ({row['wall_s']}s)")
 
 

@@ -194,6 +194,8 @@ def run_stage2(work, out_name, schedule, model_type="fcae", epochs=40,
         out["selected_epoch"] = int(sel.get("epoch", -1))
         out["selected_valid_acc_ext"] = float(sel.get("ACC_external", float("nan")))
         out["selected_valid_utility"] = float(sel.get("Utility_Retention", float("nan")))
+        out["selected_pool_n"] = int(sel.get("pool_n", -1))
+        out["selected_kept_n"] = int(sel.get("kept_n", -1))
     print(f"[stage 2 {out_name}] ACC_external orig={out['acc_ext_orig']:.3f} "
           f"anon={out['acc_ext_anon']:.3f} internal={out['acc_internal']:.3f} "
           f"utility={out['utility']:.3f} "

@@ -47,6 +47,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
+import archive_repro  # noqa: E402
 import repro_gender_row as repro  # noqa: E402
 
 GEN = ('{"weights": {"recon": %s, "sex": %s, "utility": 0.0, "confusion": %s},'
@@ -167,6 +168,7 @@ def main():
             }
             with open(results_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
+            archive_repro.archive()  # durable copy after EVERY row
             print(f"[recorded] {name} seed={seed} ({row['wall_s']}s)")
 
 

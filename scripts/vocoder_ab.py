@@ -30,6 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
+import archive_repro  # noqa: E402
 import repro_gender_row as repro  # noqa: E402
 
 
@@ -71,6 +72,7 @@ def main():
         done[method] = row
         with open(results_path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        archive_repro.archive()  # durable copy after EVERY row
         print(f"[vocoder_ab {method}] ACC on pitch-normalized audio = "
               f"{row['acc_pitch_norm']:.3f} (original-audio ACC {acc_orig:.3f})")
 

@@ -52,10 +52,21 @@ def _spread(vals):
     return mean, lo, hi
 
 
+def _require(*rel):
+    path = _resolve(*rel)
+    if not os.path.exists(path):
+        sys.exit(
+            f"missing {'/'.join(rel)} in BOTH save/repro_gender_row and "
+            "artifacts/repro — run scripts/round4_sweep.py (it rebuilds the "
+            "stages and archives every result), then retry"
+        )
+    return path
+
+
 def main():
-    with open(_resolve("gender", "repro_stats.json")) as f:
+    with open(_require("gender", "repro_stats.json")) as f:
         acc_orig = json.load(f)["acc_orig"]
-    with open(_resolve("asr", "repro_stats.json")) as f:
+    with open(_require("asr", "repro_stats.json")) as f:
         wer_asr = json.load(f)["wer"]
     rows = _load_jsonl(_resolve("sweep_results.jsonl"))
     ab = {r["method"]: r for r in _load_jsonl(_resolve("vocoder_ab.jsonl"))}

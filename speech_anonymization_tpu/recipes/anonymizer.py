@@ -507,11 +507,15 @@ class SexAnonymizationBrain(Brain):
                 self.checkpointer.save_and_keep_only(
                     {
                         "ACC_external": stats["ACC_external"],
+                        # closest-to-chance keep key: min-ACC retention
+                        # prefers LOWEST ACC, which can prune the epochs
+                        # nearest 0.5 that valid_frontier selection wants
+                        "ACC_dist": abs(stats["ACC_external"] - 0.5),
                         "Utility_Retention": stats["Utility_Retention"],
                         "epoch": epoch,
                     },
                     max_keys=["Utility_Retention"],
-                    min_keys=["ACC_external"],
+                    min_keys=["ACC_external", "ACC_dist"],
                     num_to_keep=5,
                 )
         elif stage == Stage.TEST:
@@ -567,6 +571,10 @@ class SexAnonymizationBrain(Brain):
                 pick = min(pool, key=lambda c: (abs(c.meta["ACC_external"] - 0.5),
                                                 -c.meta["Utility_Retention"]))
                 self.selected_ckpt_meta = dict(pick.meta)
+                # retention-bias bookkeeping (ADVICE r4): how many kept
+                # checkpoints the frontier pick could choose among
+                self.selected_ckpt_meta["pool_n"] = len(pool)
+                self.selected_ckpt_meta["kept_n"] = len(scored)
                 print(f"[eval_ckpt_select=valid_frontier] epoch "
                       f"{pick.meta.get('epoch')}: valid ACC_external="
                       f"{pick.meta['ACC_external']:.3f} "
