@@ -961,17 +961,72 @@ class TransformerLM(nn.Module):
             self.d_model // self.nhead, dtype, self.pad_index,
         )
 
-    def decode_step(self, token, cache, step):
+    def prepare_megastep(self, params: dict):
+        """Stack this LM's layer weights for the whole-step megakernel
+        (ops/pallas/lm_megastep.py). Call ONCE per decode, outside the
+        step scan; pass the result as ``mega=`` to decode_step."""
+        from ..ops.pallas.lm_megastep import prepare_lm_megastep
+
+        return prepare_lm_megastep(
+            params, self.num_layers, self.d_model, self.d_ffn
+        )
+
+    def decode_step(self, token, cache, step, mega=None):
         """(N,) token at position ``step`` -> ((N, V) logits, new_cache).
 
         Stacked cache: all layers' new K/V land in one
-        dynamic_update_slice (see make_kv_cache)."""
+        dynamic_update_slice (see make_kv_cache). With ``mega`` (the
+        stacked weights from :meth:`prepare_megastep`) and a fused-KV
+        paged cache on TPU, the WHOLE layer stack runs in one Pallas
+        megakernel instead of 12 per-layer kernel invocations + XLA
+        matmuls (the per-invocation dispatch/ramp dominates the 30 s
+        decode step — BENCHMARKS.md round 4)."""
         x = self.embed(token[:, None]) * math.sqrt(self.d_model)
         x = x + jax.lax.dynamic_slice_in_dim(self.pe, step, 1, axis=0)[None]
         tok_buf = jax.lax.dynamic_update_slice_in_dim(
             cache["tokens"], token[:, None], step, axis=1
         )
         mask_nu = tok_buf != self.pad_index
+        # SATPU_LM_MEGA_INTERPRET=1 routes the megakernel through Pallas
+        # interpret mode on CPU (test coverage) WITHOUT flipping the
+        # per-layer reference path into kernel-interpret mode, so tests
+        # can compare megakernel vs the jnp paged fallback directly
+        interp = (
+            os.environ.get("SATPU_FORCE_KERNEL_INTERPRET", "0") == "1"
+            or os.environ.get("SATPU_LM_MEGA_INTERPRET", "0") == "1"
+        )
+        use_mega = (
+            mega is not None
+            and "kv" in cache  # fused-KV paged layout only
+            and (jax.default_backend() == "tpu" or interp)
+            and os.environ.get("SATPU_LM_MEGA", "1") != "0"
+        )
+        if use_mega:
+            from ..ops.pallas.lm_megastep import lm_megastep
+
+            quant = "k_scale" in cache
+            scales = (
+                {"k_scale": cache["k_scale"], "v_scale": cache["v_scale"]}
+                if quant else {}
+            )
+            res = lm_megastep(
+                x[:, 0], mask_nu, cache["kv"], cache["kv_act"],
+                cache["table"], cache["act_src"], step,
+                mega[0], mega[1], self.nhead,
+                exact_gelu=self.sb_compat, interpret=interp, **scales,
+            )
+            out = {k: cache[k] for k in cache if k != "tokens"}
+            if quant:
+                xf, out["kv"], out["kv_act"], kso, vso = res
+                out["k_scale"] = jax.lax.dynamic_update_slice(
+                    cache["k_scale"], kso[:, :, :1], (0, 0, step)
+                )
+                out["v_scale"] = jax.lax.dynamic_update_slice(
+                    cache["v_scale"], vso[:, :, :1], (0, 0, step)
+                )
+            else:
+                xf, out["kv"], out["kv_act"] = res
+            return self._head(xf), {**out, "tokens": tok_buf}
         attends, finalize = _make_attends(
             self.layers, [l.attn for l in self.layers],
             cache, mask_nu, step, self.nhead,

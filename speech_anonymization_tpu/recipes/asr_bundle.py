@@ -127,6 +127,14 @@ class ASRBundle:
             lm_cached = None
             if self.lm is not None and lm_weight > 0:
                 lm_d_head = self.lm.d_model // self.lm.nhead
+                # whole-LM-step megakernel weights, stacked ONCE per decode
+                # (outside the beam-search scan): decode_step fuses all
+                # layers into one pallas_call for fused-KV paged caches on
+                # TPU (ops/pallas/lm_megastep.py; SATPU_LM_MEGA=0 opts out)
+                lm_mega = (
+                    self.lm.prepare_megastep(lm_variables["params"])
+                    if self.lm.d_ffn % self.lm.d_model == 0 else None
+                )
                 lm_cached = (
                     lambda n, u_max: make_kv_cache(
                         n, u_max, self.lm.num_layers, self.lm.nhead, lm_d_head,
@@ -135,7 +143,7 @@ class ASRBundle:
                         and use_paged_cache(n, u_max, self.lm.d_model, cache_dtype),
                     ),
                     lambda state, prev_tok, step: self.lm.apply(
-                        lm_variables, prev_tok, state, step,
+                        lm_variables, prev_tok, state, step, lm_mega,
                         method=TransformerLM.decode_step,
                     ),
                     beam_reorder_cache,
