@@ -6,7 +6,13 @@ gender_classifier_train_recon.py:58-93). A variant that only fools the
 FIXED evaluator fails this test; a variant that actually removed the cue
 holds the retrained attacker near chance.
 
-  python scripts/attack_retrain.py <variant> [seed]
+  python scripts/attack_retrain.py <variant> [seed] [frontier]
+
+With ``frontier``, the frozen anonymizer is the SAME valid_frontier
+checkpoint the ``<variant>_frontier`` sweep row reports (instead of the
+default max-utility checkpoint), so the retrained attacker attacks the
+reported operating point; the row is recorded under
+``<variant>_frontier``.
 
 Appends one JSON line to save/repro_gender_row/attack_results.jsonl.
 """
@@ -33,6 +39,7 @@ def main():
 
     variant = sys.argv[1]
     seed = sys.argv[2] if len(sys.argv) > 2 else "0"
+    frontier = "frontier" in sys.argv[3:]
     work = os.path.join(REPO, "save", "repro_gender_row")
     root = os.path.join(work, "corpus")
     test_csv = os.path.join(root, "test-clean.csv")
@@ -45,7 +52,8 @@ def main():
             r = json.loads(line)
             if r["variant"] == variant and str(r["seed"]) == seed:
                 model_type = r["model_type"]
-    out = os.path.join(work, f"attack_{variant}_s{seed}")
+    tag = f"{variant}_frontier" if frontier else variant
+    out = os.path.join(work, f"attack_{tag}_s{seed}")
     t0 = time.time()
     gb = gender_classifier.main(
         [os.path.join(repro.BASE, "gender_classifier_recon.yaml")]
@@ -54,16 +62,17 @@ def main():
            "--number_of_epochs", "8",
            "--trained_recon_model_dir", anon_dir,
            "--recon_model_type", model_type]
+        + (["--recon_ckpt_select", "valid_frontier"] if frontier else [])
     )
     row = {
-        "variant": variant, "seed": int(seed), "model_type": model_type,
+        "variant": tag, "seed": int(seed), "model_type": model_type,
         "attack_acc": 1.0 - float(gb.test_stats["error"]),
         "wall_s": round(time.time() - t0, 1),
     }
     with open(os.path.join(work, "attack_results.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")
     archive_repro.archive()  # durable copy after EVERY row
-    print(f"[attack {variant} s{seed}] retrained-attacker ACC on anonymized "
+    print(f"[attack {tag} s{seed}] retrained-attacker ACC on anonymized "
           f"features = {row['attack_acc']:.3f}")
 
 

@@ -193,7 +193,7 @@ def _kernel_mega(step_ref, tbl_ref, asrc_ref, unif_ref,
 
         # ---- attention: paged cache streaming, tile by tile --------------
         def tile_body(t, _):
-            row0 = t * tn
+            row0 = pl.multiple_of(t * tn, tn)
             rows = pl.ds(row0, tn)
             q = qs[rows, :]
             khb = ks[rows, :]

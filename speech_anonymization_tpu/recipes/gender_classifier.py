@@ -335,9 +335,17 @@ def _is_torch_ckpt(path: str) -> bool:
         return False
 
 
-def load_recon_model(ckpt_dir: str, model_type: str = "fcae", n_mels: int = 80):
+def load_recon_model(ckpt_dir: str, model_type: str = "fcae", n_mels: int = 80,
+                     ckpt_select: str = "max_utility",
+                     min_utility: float = 0.85):
     """Load a frozen anonymizer (module, variables) from an anonymizer-recipe
     checkpoint directory for the recon-retrain variant.
+
+    ``ckpt_select="valid_frontier"`` picks the SAME checkpoint the
+    anonymizer's valid_frontier evaluation reports (valid ACC_external
+    closest to chance subject to the utility floor — anonymizer.py
+    on_evaluate_start), so a retrained attacker attacks the reported
+    operating point rather than the default max-utility checkpoint.
 
     Also accepts the REFERENCE's shipped checkpoint layout (a ``save/`` dir
     of ``CKPT+*`` subdirs, or one such subdir, holding a torch ``model.ckpt``
@@ -387,7 +395,22 @@ def load_recon_model(ckpt_dir: str, model_type: str = "fcae", n_mels: int = 80):
             ),
         },
     )
-    if ckptr.recover_if_possible(max_key="Utility_Retention") is None:
+    if ckpt_select == "valid_frontier":
+        scored = [c for c in ckptr.find_checkpoints()
+                  if "ACC_external" in c.meta and "Utility_Retention" in c.meta]
+        if not scored:
+            raise FileNotFoundError(
+                f"no frontier-scored anonymizer checkpoint under {ckpt_dir}")
+        ok = [c for c in scored if c.meta["Utility_Retention"] >= min_utility]
+        pool = ok or [max(scored, key=lambda c: c.meta["Utility_Retention"])]
+        pick = min(pool, key=lambda c: (abs(c.meta["ACC_external"] - 0.5),
+                                        -c.meta["Utility_Retention"]))
+        print(f"[recon ckpt_select=valid_frontier] epoch "
+              f"{pick.meta.get('epoch')}: valid ACC_external="
+              f"{pick.meta['ACC_external']:.3f} "
+              f"Utility={pick.meta['Utility_Retention']:.3f}")
+        ckptr.load_checkpoint(pick)
+    elif ckptr.recover_if_possible(max_key="Utility_Retention") is None:
         raise FileNotFoundError(f"no anonymizer checkpoint under {ckpt_dir}")
     return module, {"params": holder["params"], **holder["model_state"]}
 
@@ -430,6 +453,8 @@ def main(argv=None):
             recon_dir,
             model_type=hparams.get("recon_model_type", "fcae"),
             n_mels=int(hparams.get("n_mels", 80)),
+            ckpt_select=str(hparams.get("recon_ckpt_select", "max_utility")),
+            min_utility=float(hparams.get("eval_ckpt_min_utility", 0.85)),
         )
 
     checkpointer = Checkpointer(

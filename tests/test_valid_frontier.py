@@ -11,6 +11,7 @@ fallback to top-k averaging); the e2e test wires
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -153,6 +154,44 @@ def _argv(root, out, **overrides):
     for k, v in base.items():
         argv += [f"--{k}", v]
     return argv
+
+
+def test_load_recon_model_valid_frontier(tmp_path):
+    """The retrained-attacker path must be able to attack the SAME
+    checkpoint the valid_frontier evaluation reports (ADVICE r4 follow-on:
+    attack_retrain otherwise silently attacks the max-utility epoch)."""
+    from speech_anonymization_tpu.recipes.anonymizer import MODEL_TYPES
+    from speech_anonymization_tpu.recipes.gender_classifier import (
+        load_recon_model,
+    )
+
+    module = MODEL_TYPES["fcae"]()
+    rng = jax.random.PRNGKey(0)
+    variables = module.init({"params": rng, "dummy": rng},
+                            jnp.zeros((1, 8, 80)), train=False)
+    ckpt_dir = str(tmp_path / "ckpts")
+    ckptr = Checkpointer(ckpt_dir)
+    metas = [
+        {"epoch": 1, "ACC_external": 0.9, "Utility_Retention": 0.99},
+        {"epoch": 2, "ACC_external": 0.55, "Utility_Retention": 0.90},
+        {"epoch": 3, "ACC_external": 0.50, "Utility_Retention": 0.40},
+    ]
+    for meta in metas:
+        e = float(meta["epoch"])
+        ckptr.recoverables["model"] = jax.tree.map(
+            lambda a, e=e: a + e, variables["params"])
+        ckptr.recoverables["model_state"] = {
+            k: v for k, v in variables.items() if k != "params"}
+        ckptr.save_checkpoint(meta, name=f"CKPT+e{meta['epoch']}")
+
+    def _leaf(vs):
+        return np.asarray(jax.tree.leaves(vs["params"])[0])
+
+    base = _leaf(variables)
+    _, vs = load_recon_model(ckpt_dir, "fcae", ckpt_select="valid_frontier")
+    np.testing.assert_allclose(_leaf(vs), base + 2.0)  # epoch 2: frontier
+    _, vs = load_recon_model(ckpt_dir, "fcae")  # default: max utility
+    np.testing.assert_allclose(_leaf(vs), base + 1.0)  # epoch 1
 
 
 def test_eval_only_valid_frontier_e2e(tmp_path_factory):
